@@ -1,0 +1,300 @@
+"""Hierarchical spatial cell index (pure integer numpy, no external libs).
+
+This replaces the reference's per-polygon quadtree ("geotree",
+/root/reference/src/osm_polygon_compiler.erl:290-345) with a *global*
+hierarchical cell grid usable as a partition / join / prune key — the role
+H3/S2 play in production geospatial Spark pipelines.  Since neither h3 nor
+s2sphere is available in this environment, we implement an S2-flavored
+quadtree id scheme from first principles:
+
+* the lon/lat plane (equirectangular) is normalized to the unit square and
+  recursively quadded; a cell at resolution ``r`` is the Morton (Z-order)
+  interleave of its ``(ix, iy)`` grid coordinates with a leading marker bit,
+  so ids are unique across resolutions and ``parent = id >> 2`` — the same
+  prefix-hierarchy property S2 cell ids have;
+* everything is vectorized int64 numpy, bit-exact across runs and
+  parallelism levels (no floats in the id math beyond the initial
+  quantization, which uses a fixed scale);
+* resolutions 0..MAX_RES (15) are supported; the engine defaults to res 7
+  for coarse pruning and res 10 for fine work, mirroring the north-star
+  "res 7-10" requirement.
+
+The polygon->cell cover (``polygon_cell_cover``) classifies each cell as
+``inside`` / ``outside`` / ``boundary`` exactly like the geotree's
+constant-folded ``in``/``out`` leaves vs real leaves
+(osm_polygon_compiler.erl:303-334): uniform cells (no ring edge intersects
+the cell rect) are decided once by their center point; only boundary cells
+ever pay the per-edge point-in-polygon test at query time.
+
+Limitations (documented, acceptable for v1): no antimeridian wrap in
+neighbor math; equirectangular cells are not equal-area (fine for pruning
+and partitioning — correctness never depends on cell geometry).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from osm_cut_spark.functions.geometry import PreparedPolygon, PreparedRing
+
+MAX_RES = 15
+DEFAULT_COARSE_RES = 7
+DEFAULT_FINE_RES = 10
+
+LON_MIN, LON_MAX = -180.0, 180.0
+LAT_MIN, LAT_MAX = -90.0, 90.0
+
+# verdict codes for cell covers
+OUTSIDE, INSIDE, BOUNDARY = 0, 1, 2
+
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each int64 so there is a 0 between each bit."""
+    v = v.astype(np.int64) & 0xFFFF
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+def _compact_bits(v: np.ndarray) -> np.ndarray:
+    """Inverse of _spread_bits."""
+    v = v.astype(np.int64) & 0x55555555
+    v = (v | (v >> 1)) & 0x33333333
+    v = (v | (v >> 2)) & 0x0F0F0F0F
+    v = (v | (v >> 4)) & 0x00FF00FF
+    v = (v | (v >> 8)) & 0x0000FFFF
+    return v
+
+
+def xy_to_cell(ix: np.ndarray, iy: np.ndarray, res: int) -> np.ndarray:
+    """Grid coordinates at resolution ``res`` -> cell id (marker-bit Morton)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    morton = _spread_bits(np.asarray(ix)) | (_spread_bits(np.asarray(iy)) << 1)
+    return morton | (np.int64(1) << np.int64(2 * res))
+
+
+def cell_to_xy(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cell id -> (ix, iy, res)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    # res = floor(log4(cell)) via bit length of the marker bit
+    nbits = np.zeros_like(cell)
+    tmp = cell.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = tmp >= (np.int64(1) << np.int64(shift))
+        nbits = np.where(mask, nbits + shift, nbits)
+        tmp = np.where(mask, tmp >> np.int64(shift), tmp)
+    res = nbits // 2
+    morton = cell - (np.int64(1) << (2 * res))
+    return _compact_bits(morton), _compact_bits(morton >> 1), res
+
+
+def cell_res(cell: np.ndarray) -> np.ndarray:
+    return cell_to_xy(cell)[2]
+
+
+def lonlat_to_grid(lon: np.ndarray, lat: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Quantize lon/lat to grid coords at ``res`` (clipped to the valid range)."""
+    n = np.int64(1) << np.int64(res)
+    u = (np.asarray(lon, dtype=np.float64) - LON_MIN) / (LON_MAX - LON_MIN)
+    v = (np.asarray(lat, dtype=np.float64) - LAT_MIN) / (LAT_MAX - LAT_MIN)
+    ix = np.clip((u * n).astype(np.int64), 0, n - 1)
+    iy = np.clip((v * n).astype(np.int64), 0, n - 1)
+    return ix, iy
+
+
+def lonlat_to_cell(lon: np.ndarray, lat: np.ndarray, res: int = DEFAULT_FINE_RES) -> np.ndarray:
+    """Vectorized lon/lat -> cell id at resolution ``res``."""
+    ix, iy = lonlat_to_grid(lon, lat, res)
+    return xy_to_cell(ix, iy, res)
+
+
+def cell_parent(cell: np.ndarray, steps: int = 1) -> np.ndarray:
+    """Parent cell ``steps`` resolutions up (prefix property: id >> 2*steps)."""
+    return np.asarray(cell, dtype=np.int64) >> np.int64(2 * steps)
+
+
+def cell_children(cell: int) -> np.ndarray:
+    """The four children of a single cell id."""
+    return (np.int64(cell) << np.int64(2)) + np.arange(4, dtype=np.int64)
+
+
+def cell_to_bbox(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Cell id(s) -> (lon_min, lat_min, lon_max, lat_max) arrays."""
+    ix, iy, res = cell_to_xy(cell)
+    size = np.float64(1.0) / (np.int64(1) << res).astype(np.float64)
+    lon0 = LON_MIN + ix * size * (LON_MAX - LON_MIN)
+    lat0 = LAT_MIN + iy * size * (LAT_MAX - LAT_MIN)
+    lon1 = lon0 + size * (LON_MAX - LON_MIN)
+    lat1 = lat0 + size * (LAT_MAX - LAT_MIN)
+    return lon0, lat0, lon1, lat1
+
+
+def cell_center(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lon0, lat0, lon1, lat1 = cell_to_bbox(cell)
+    return (lon0 + lon1) / 2.0, (lat0 + lat1) / 2.0
+
+
+def cell_disk(cell: int, k: int) -> np.ndarray:
+    """All cells at the same resolution within Chebyshev distance <= k.
+
+    This is the kNN candidate ring-expansion primitive (the cell analog of
+    H3's grid_disk).  Cells outside the grid range are clipped away.
+    """
+    ix, iy, res = cell_to_xy(np.array([cell]))
+    ix, iy, res = int(ix[0]), int(iy[0]), int(res[0])
+    n = 1 << res
+    xs = np.arange(max(0, ix - k), min(n, ix + k + 1), dtype=np.int64)
+    ys = np.arange(max(0, iy - k), min(n, iy + k + 1), dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    return np.sort(xy_to_cell(gx.ravel(), gy.ravel(), res))
+
+
+def cell_ring(cell: int, k: int) -> np.ndarray:
+    """Cells at exactly Chebyshev distance k (the expansion frontier)."""
+    if k == 0:
+        return np.array([cell], dtype=np.int64)
+    disk_k = set(cell_disk(cell, k).tolist())
+    disk_k1 = set(cell_disk(cell, k - 1).tolist())
+    return np.array(sorted(disk_k - disk_k1), dtype=np.int64)
+
+
+def _edges_intersect_rects(
+    ring: PreparedRing,
+    lon0: np.ndarray,
+    lat0: np.ndarray,
+    lon1: np.ndarray,
+    lat1: np.ndarray,
+) -> np.ndarray:
+    """For N rects, True where ANY ring edge intersects the closed rect.
+
+    Vectorized (rects x edges) with chunking; separating-axis test:
+    bbox overlap AND the rect's corners are not all strictly on one side
+    of the edge line.
+    """
+    n = lon0.shape[0]
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    chunk = max(1, 2_000_000 // max(1, ring.n_edges))
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        x0, y0 = lon0[lo:hi, None], lat0[lo:hi, None]
+        x1, y1 = lon1[lo:hi, None], lat1[lo:hi, None]
+        overlap = (
+            (ring.xmin <= x1)
+            & (ring.xmax >= x0)
+            & (ring.ymin <= y1)
+            & (ring.ymax >= y0)
+        )
+        # signed values of the 4 rect corners against each edge line
+        r00 = x0 * ring.a + y0 * ring.b + ring.c
+        r01 = x0 * ring.a + y1 * ring.b + ring.c
+        r10 = x1 * ring.a + y0 * ring.b + ring.c
+        r11 = x1 * ring.a + y1 * ring.b + ring.c
+        all_pos = (r00 > 0) & (r01 > 0) & (r10 > 0) & (r11 > 0)
+        all_neg = (r00 < 0) & (r01 < 0) & (r10 < 0) & (r11 < 0)
+        out[lo:hi] = (overlap & ~(all_pos | all_neg)).any(axis=1)
+    return out
+
+
+@dataclass(frozen=True)
+class CellCover:
+    """Polygon cell cover: ids + verdicts (INSIDE / BOUNDARY; OUTSIDE implied).
+
+    ``inside_cells`` may span multiple resolutions (coarse uniform regions
+    stay coarse); ``boundary_cells`` are all at ``res`` (the fine
+    resolution).  Points are routed: fine-cell in inside-set (any ancestor
+    resolution) -> inside without edge math; in boundary-set -> run the PIP
+    kernel; neither -> outside.
+    """
+
+    res: int
+    inside_cells: np.ndarray  # int64, mixed resolutions
+    boundary_cells: np.ndarray  # int64, at ``res``
+
+    def verdict_frame(self):
+        """(cell_id, verdict) rows for building a broadcast DataFrame."""
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "cell_id": np.concatenate([self.inside_cells, self.boundary_cells]),
+                "verdict": np.concatenate(
+                    [
+                        np.full(self.inside_cells.shape[0], INSIDE, dtype=np.int32),
+                        np.full(self.boundary_cells.shape[0], BOUNDARY, dtype=np.int32),
+                    ]
+                ),
+            }
+        )
+
+
+def polygon_cell_cover(
+    poly: PreparedPolygon,
+    res_min: int = DEFAULT_COARSE_RES,
+    res_max: int = DEFAULT_FINE_RES,
+    max_cells: int = 2_000_000,
+) -> CellCover:
+    """Compute the polygon's cell cover with per-cell verdicts.
+
+    BFS refinement from ``res_min``: a cell with no include/exclude edge
+    intersecting its rect is uniform (verdict from its center point); mixed
+    cells refine until ``res_max`` where they become ``boundary``.  This is
+    the data-level replacement for the reference geotree's constant-folded
+    quadrants (osm_polygon_compiler.erl:303-334, 505-537).
+    """
+    rings = list(poly.include) + list(poly.exclude)
+    bx0, bx1, by0, by1 = poly.bbox
+
+    # seed cells: res_min cells overlapping the polygon bbox
+    ix0, iy0 = lonlat_to_grid(np.array([bx0]), np.array([by0]), res_min)
+    ix1, iy1 = lonlat_to_grid(np.array([bx1]), np.array([by1]), res_min)
+    xs = np.arange(ix0[0], ix1[0] + 1, dtype=np.int64)
+    ys = np.arange(iy0[0], iy1[0] + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    frontier = xy_to_cell(gx.ravel(), gy.ravel(), res_min)
+
+    inside_parts: list[np.ndarray] = []
+    boundary: np.ndarray | None = None
+    total = frontier.shape[0]
+
+    for res in range(res_min, res_max + 1):
+        if frontier.shape[0] == 0:
+            break
+        lon0, lat0, lon1, lat1 = cell_to_bbox(frontier)
+        mixed = np.zeros(frontier.shape[0], dtype=bool)
+        for ring in rings:
+            mixed |= _edges_intersect_rects(ring, lon0, lat0, lon1, lat1)
+        uniform = frontier[~mixed]
+        if uniform.shape[0]:
+            cx, cy = cell_center(uniform)
+            inside_mask = poly.contains(cx, cy)
+            if inside_mask.any():
+                inside_parts.append(uniform[inside_mask])
+        frontier = frontier[mixed]
+        if res == res_max:
+            boundary = frontier
+            break
+        # refine mixed cells
+        total += 4 * frontier.shape[0]
+        if total > max_cells:
+            # stop refining: keep remaining mixed cells as boundary at this res
+            boundary = frontier
+            res_max = res
+            break
+        # child id = (cell << 2) + j; the marker bit shifts along correctly
+        frontier = (frontier[:, None] * 4 + np.arange(4, dtype=np.int64)).ravel()
+
+    inside = (
+        np.sort(np.concatenate(inside_parts))
+        if inside_parts
+        else np.array([], dtype=np.int64)
+    )
+    if boundary is None:
+        boundary = np.array([], dtype=np.int64)
+    return CellCover(res=res_max, inside_cells=inside, boundary_cells=np.sort(boundary))
