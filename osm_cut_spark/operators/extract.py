@@ -1,0 +1,536 @@
+"""Polygon-cut extraction pipeline (the engine's flagship operator).
+
+Batch-DataFrame re-expression of the reference's one-pass mode machine
+(/root/reference/src/osm_process_non_complete.erl and
+osm_process_complete.erl).  Semantics are identical; the physical plan is
+Spark-shaped:
+
+* **Node filter** — native bbox predicate (pushdown/row-group pruning, the
+  analog of the geotree root bbox prune, osm_polygon_compiler.erl:200-206)
+  followed by ONE Arrow-vectorized pandas UDF that routes points through
+  the broadcast polygon cell cover: points in uniform inside cells are
+  accepted with two binary searches, only boundary-cell points pay the
+  edge-crossing math (the geotree's in/out constant folding, erl:303-334).
+* **Way semi-join** — posexplode(nds) ⋈ selected-node ids, regrouped per
+  way.  Non-complete keeps the intersection node list in original order
+  (osm_process_non_complete.erl:75-87); complete keeps the full list and
+  computes completion nodes (refs outside the polygon joined back to the
+  full node table — osm_process_complete.erl:86-100, 136-152).
+* **Relation selection** —
+  non-complete: members filtered against nodes∪ways∪already-selected
+  relations in stream order (osm_process_non_complete.erl:90-105); stream
+  order is (doc_id, offset).  complete: seed relations (≥1 node/way member
+  hit) plus the ancestor closure over child→parent relation links as an
+  iterative self-join to fixpoint (osm_process_complete.erl:109-134,
+  229-251); closure-only relations keep only their relation-type members
+  (erl:118-124, 253-257).
+* **Output** — element rows carry their ORIGINAL span text (attrs and
+  children re-emitted verbatim, child spans filtered to kept refs), phased
+  nodes → completion nodes → ways → relations (osm_process_complete.erl:
+  60-64, 143-167, 170-190), and can be regrouped into an output document
+  table with contiguous renumbered offsets preserving the per-document
+  span-sequence invariant.
+
+Scale notes: the only shuffles are the way/member explode-joins and the
+final regroups, all on well-distributed keys (node id, (doc_id, offset));
+the polygon/cover broadcast is a few MB even for continent-size polygons;
+AQE handles skew and picks broadcast sides when the selection is small.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import BooleanType, LongType
+
+from osm_cut_spark.functions.cells import CellCover, lonlat_to_cell, polygon_cell_cover
+from osm_cut_spark.functions.geometry import PreparedPolygon
+from osm_cut_spark.operators import ingest
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon UDF with cell-cover routing
+# ---------------------------------------------------------------------------
+
+
+def _isin_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    if sorted_arr.shape[0] == 0:
+        return np.zeros(values.shape[0], dtype=bool)
+    idx = np.searchsorted(sorted_arr, values)
+    idx = np.clip(idx, 0, sorted_arr.shape[0] - 1)
+    return sorted_arr[idx] == values
+
+
+def _route_points(
+    poly: PreparedPolygon,
+    cover: CellCover,
+    inside_by_res: dict[int, np.ndarray],
+    x: np.ndarray,
+    y: np.ndarray,
+) -> np.ndarray:
+    fine = lonlat_to_cell(x, y, cover.res)
+    out = np.zeros(x.shape[0], dtype=bool)
+    undecided = np.ones(x.shape[0], dtype=bool)
+    for r, arr in inside_by_res.items():
+        anc = fine >> np.int64(2 * (cover.res - r))
+        hit = undecided & _isin_sorted(anc, arr)
+        out |= hit
+        undecided &= ~hit
+    bnd = undecided & _isin_sorted(fine, cover.boundary_cells)
+    if bnd.any():
+        out[bnd] = poly.contains(x[bnd], y[bnd])
+    return out
+
+
+def make_pip_udf(spark: SparkSession, poly: PreparedPolygon, cover: CellCover):
+    """Vectorized boolean pandas UDF: (lon, lat) -> inside polygon."""
+    from osm_cut_spark.functions.cells import cell_res
+
+    res_of = cell_res(cover.inside_cells)
+    inside_by_res = {
+        int(r): np.sort(cover.inside_cells[res_of == r]) for r in np.unique(res_of)
+    }
+    bc = spark.sparkContext.broadcast((poly, cover, inside_by_res))
+
+    @F.pandas_udf(BooleanType())
+    def pip(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        p, c, ibr = bc.value
+        x = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+        y = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        res = np.zeros(x.shape[0], dtype=bool)
+        if ok.any():
+            res[ok] = _route_points(p, c, ibr, x[ok], y[ok])
+        return pd.Series(res)
+
+    return pip
+
+
+def make_cell_udf(spark: SparkSession, res: int):
+    """Vectorized long pandas UDF: (lon, lat) -> cell id at ``res``."""
+
+    @F.pandas_udf(LongType())
+    def cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        x = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+        y = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        out = lonlat_to_cell(np.nan_to_num(x), np.nan_to_num(y), res)
+        out[np.isnan(x) | np.isnan(y)] = -1
+        return pd.Series(out)
+
+    return cell
+
+
+def bbox_predicate(poly: PreparedPolygon) -> Column:
+    """Native pre-filter on the include-rings bbox (Catalyst-visible)."""
+    x0, x1, y0, y1 = poly.bbox
+    return (
+        F.col("lon").between(F.lit(x0), F.lit(x1))
+        & F.col("lat").between(F.lit(y0), F.lit(y1))
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 1: node selection
+# ---------------------------------------------------------------------------
+
+
+def select_nodes(
+    spark: SparkSession,
+    nodes: DataFrame,
+    poly: PreparedPolygon,
+    cover: CellCover | None = None,
+) -> DataFrame:
+    """Nodes inside the polygon (bbox prune -> cover-routed PIP UDF)."""
+    if cover is None:
+        cover = polygon_cell_cover(poly)
+    pip = make_pip_udf(spark, poly, cover)
+    return (
+        nodes.filter(F.col("id").isNotNull())
+        .filter(bbox_predicate(poly))
+        .filter(pip(F.col("lon"), F.col("lat")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 2: way semi-join (+ completion in complete mode)
+# ---------------------------------------------------------------------------
+
+_WAY_KEY = ["doc_id", "offset"]
+
+
+def select_ways(ways: DataFrame, sel_node_ids: DataFrame, complete: bool) -> DataFrame:
+    """Ways with >=1 selected node ref.
+
+    Adds ``kept_nds`` (array<long>, original order):
+    * non-complete: the projected intersection (way#nodes := kept refs,
+      osm_process_non_complete.erl:83-86);
+    * complete: the full original list (osm_process_complete.erl:95-99).
+    """
+    exploded = ways.select(*_WAY_KEY, F.posexplode("nds").alias("pos", "ref"))
+    hits = exploded.join(sel_node_ids, exploded.ref == sel_node_ids.node_id, "inner")
+    kept = hits.groupBy(*_WAY_KEY).agg(
+        F.sort_array(F.collect_list(F.struct("pos", "ref"))).alias("kp")
+    )
+    out = ways.join(kept, _WAY_KEY, "inner")
+    if complete:
+        return out.withColumn("kept_nds", F.col("nds")).drop("kp")
+    return out.withColumn(
+        "kept_nds", F.expr("transform(kp, x -> x.ref)")
+    ).drop("kp")
+
+
+def completion_nodes(
+    ways_sel: DataFrame, nodes: DataFrame, sel_node_ids: DataFrame
+) -> DataFrame:
+    """Outside nodes referenced by kept ways, fetched whole from the node
+    table (osm_process_complete.erl:136-152).  Excludes already-selected
+    node ids; refs with no backing node row vanish naturally."""
+    refs = (
+        ways_sel.select(F.explode("kept_nds").alias("ref"))
+        .distinct()
+        .join(sel_node_ids, F.col("ref") == F.col("node_id"), "left_anti")
+    )
+    return nodes.join(refs, nodes.id == refs.ref, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# stage 3: relation selection
+# ---------------------------------------------------------------------------
+
+
+def _member_hits(relations: DataFrame, base_keys: DataFrame) -> DataFrame:
+    """Relation keys with >=1 member matching base_keys(kind, key_id)."""
+    mem = relations.select(
+        *_WAY_KEY, F.explode("members").alias("m")
+    ).select(*_WAY_KEY, F.col("m.type").alias("kind"), F.col("m.ref").alias("key_id"))
+    return mem.join(base_keys, ["kind", "key_id"], "left_semi").select(*_WAY_KEY).distinct()
+
+
+def base_key_df(
+    sel_node_ids: DataFrame,
+    comp_node_ids: DataFrame | None,
+    way_keys_ids: DataFrame,
+) -> DataFrame:
+    """(kind, key_id) union of selected nodes (+completion nodes) and ways."""
+    parts = [sel_node_ids.select(F.lit("node").alias("kind"), F.col("node_id").alias("key_id"))]
+    if comp_node_ids is not None:
+        parts.append(
+            comp_node_ids.select(F.lit("node").alias("kind"), F.col("node_id").alias("key_id"))
+        )
+    parts.append(way_keys_ids.select(F.lit("way").alias("kind"), F.col("way_id").alias("key_id")))
+    return reduce(DataFrame.unionByName, parts).distinct()
+
+
+def relation_closure_complete(
+    relations: DataFrame, base_keys: DataFrame, max_iters: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """Complete-mode relation selection.
+
+    Returns (selected_rel_ids(rid), seed_rel_ids(rid)).  Seeds have >=1
+    node/way member in ``base_keys``; the ancestor closure follows
+    child->parent links recorded for NON-seed relations only
+    (osm_process_complete.erl:109-134, 229-251).
+    """
+    seeds = (
+        _member_hits(relations, base_keys)
+        .join(relations, _WAY_KEY)
+        .select(F.col("id").alias("rid"))
+        .distinct()
+    )
+    non_seed = relations.join(
+        seeds, relations.id == seeds.rid, "left_anti"
+    )
+    edges = (
+        non_seed.select(F.col("id").alias("parent"), F.explode("members").alias("m"))
+        .filter(F.col("m.type") == "relation")
+        .select(F.col("m.ref").alias("child"), "parent")
+    )
+    edges = edges.persist()
+    edges.count()
+
+    seen = seeds.persist()
+    frontier = seen
+    for _ in range(max_iters):
+        parents = (
+            edges.join(frontier, edges.child == frontier.rid)
+            .select(F.col("parent").alias("rid"))
+            .distinct()
+            .join(seen, "rid", "left_anti")
+            .persist()
+        )
+        if parents.count() == 0:
+            break
+        seen = seen.unionByName(parents).persist()
+        frontier = parents
+    edges.unpersist()
+    return seen, seeds
+
+
+def select_relations_non_complete(
+    relations: DataFrame, base_keys: DataFrame, max_iters: int = 64
+) -> DataFrame:
+    """Non-complete relation selection: stream-order-dependent.
+
+    A relation's members are tested against the set as of its position in
+    the stream (osm_process_non_complete.erl:90-105): nodes/ways (always
+    earlier) plus relations already selected at an earlier (doc_id, offset).
+    Returns selected relation keys (doc_id, offset, rid, rord implicit).
+    """
+    direct = _member_hits(relations, base_keys).join(relations, _WAY_KEY).select(
+        "doc_id", "offset", F.col("id").alias("rid")
+    )
+    # relation->relation edges with both endpoints' stream order
+    redges = (
+        relations.select(
+            F.col("id").alias("parent"),
+            F.col("doc_id").alias("p_doc"),
+            F.col("offset").alias("p_off"),
+            F.explode("members").alias("m"),
+        )
+        .filter(F.col("m.type") == "relation")
+        .select("parent", "p_doc", "p_off", F.col("m.ref").alias("child"))
+        .persist()
+    )
+    if redges.count() == 0:
+        redges.unpersist()
+        return direct.distinct()
+
+    seen = direct.distinct().persist()
+    frontier = seen
+    rel_by_id = relations.select(
+        F.col("id").alias("parent"), F.col("doc_id").alias("p_doc"), F.col("offset").alias("p_off")
+    )
+    for _ in range(max_iters):
+        earlier = (
+            redges.join(frontier, redges.child == frontier.rid)
+            .filter(
+                (F.col("doc_id") < F.col("p_doc"))
+                | ((F.col("doc_id") == F.col("p_doc")) & (F.col("offset") < F.col("p_off")))
+            )
+            .select(F.col("p_doc").alias("doc_id"), F.col("p_off").alias("offset"), F.col("parent").alias("rid"))
+            .distinct()
+            .join(seen, ["doc_id", "offset", "rid"], "left_anti")
+            .persist()
+        )
+        if earlier.count() == 0:
+            break
+        seen = seen.unionByName(earlier).persist()
+        frontier = earlier
+    del rel_by_id
+    redges.unpersist()
+    return seen
+
+
+# ---------------------------------------------------------------------------
+# output assembly
+# ---------------------------------------------------------------------------
+
+PHASE_NODE, PHASE_COMPLETION, PHASE_WAY, PHASE_RELATION = 0, 1, 2, 3
+
+
+def _as_out(df: DataFrame, kind: str, phase: int, child_spans_col: str) -> DataFrame:
+    return df.select(
+        F.lit(phase).alias("phase"),
+        F.lit(kind).alias("kind"),
+        F.col("id"),
+        F.col("doc_id"),
+        F.col("offset"),
+        F.col("attrs_json"),
+        F.col(child_spans_col).alias("out_child_spans"),
+    )
+
+
+@dataclass
+class ExtractResult:
+    """Selected elements, phased.  All DataFrames share the output schema
+    (phase, kind, id, doc_id, offset, attrs_json, out_child_spans)."""
+
+    nodes: DataFrame
+    completion: DataFrame | None
+    ways: DataFrame
+    relations: DataFrame
+    passthrough: DataFrame  # (doc_id, kind, text, media_ref, offset)
+
+    def elements(self) -> DataFrame:
+        parts = [self.nodes, self.ways, self.relations]
+        if self.completion is not None:
+            parts.insert(1, self.completion)
+        return reduce(DataFrame.unionByName, parts)
+
+    def documents(self) -> DataFrame:
+        """Regroup output into the interleaved-docs table shape.
+
+        Output spans = (element parent spans + kept child spans +
+        passthrough text/media spans of documents that kept >=1 element),
+        ordered by original offset, offsets renumbered contiguously —
+        i.e. each output document is the input document filtered to kept
+        spans (the span-sequence invariant).
+        """
+        el = self.elements()
+        parent_spans = el.select(
+            "doc_id",
+            F.struct(
+                F.col("kind"),
+                F.col("attrs_json").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.col("offset"),
+            ).alias("span"),
+        )
+        child_spans = el.select(
+            "doc_id", F.explode("out_child_spans").alias("span")
+        ).select(
+            "doc_id",
+            F.struct(
+                F.col("span.kind"),
+                F.col("span.text"),
+                F.col("span.media_ref"),
+                F.col("span.offset"),
+            ).alias("span"),
+        )
+        kept_docs = el.select("doc_id").distinct()
+        pt = self.passthrough.join(kept_docs, "doc_id", "left_semi").select(
+            "doc_id",
+            F.struct(
+                F.col("kind"), F.col("text"), F.col("media_ref"), F.col("offset")
+            ).alias("span"),
+        )
+        all_spans = parent_spans.unionByName(child_spans).unionByName(pt)
+        return (
+            all_spans.groupBy("doc_id")
+            .agg(
+                F.expr(
+                    "array_sort(collect_list(span), (l, r) -> int(l.offset) - int(r.offset))"
+                ).alias("sorted")
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    "transform(sorted, (s, i) ->"
+                    " struct(s.kind AS kind, s.text AS text,"
+                    "        s.media_ref AS media_ref, int(i) AS offset))"
+                ).alias("spans"),
+            )
+        )
+
+
+def extract(
+    spark: SparkSession,
+    docs: DataFrame,
+    poly: PreparedPolygon,
+    complete: bool = False,
+    cover: CellCover | None = None,
+    assume_sorted: bool = True,
+) -> ExtractResult:
+    """Full polygon-cut extraction over an interleaved-docs DataFrame."""
+    nodes, ways, relations = ingest.parse_documents(docs, assume_sorted)
+    passthrough = ingest.parse_passthrough_spans(docs, assume_sorted)
+    if cover is None:
+        cover = polygon_cell_cover(poly)
+
+    nodes_sel = select_nodes(spark, nodes, poly, cover).persist()
+    sel_node_ids = nodes_sel.select(F.col("id").alias("node_id")).distinct()
+
+    ways_sel = select_ways(ways, sel_node_ids, complete).persist()
+    way_ids = ways_sel.select(F.col("id").alias("way_id")).distinct()
+
+    comp: DataFrame | None = None
+    comp_ids: DataFrame | None = None
+    if complete:
+        comp = completion_nodes(ways_sel, nodes, sel_node_ids).persist()
+        comp_ids = comp.select(F.col("id").alias("node_id")).distinct()
+
+    keys = base_key_df(sel_node_ids, comp_ids, way_ids)
+
+    if complete:
+        selected_rel_ids, seed_ids = relation_closure_complete(relations, keys)
+        all_keys = keys.unionByName(
+            selected_rel_ids.select(F.lit("relation").alias("kind"), F.col("rid").alias("key_id"))
+        )
+        seeds_marked = seed_ids.select(F.col("rid"), F.lit(True).alias("seed"))
+        rel_rows = (
+            relations.join(
+                selected_rel_ids, relations.id == selected_rel_ids.rid, "left_semi"
+            )
+            .join(seeds_marked, F.col("id") == seeds_marked.rid, "left")
+            .drop("rid")
+        )
+        # member projection: seeds filter ALL member kinds vs the final set;
+        # closure-only relations keep only relation-type members in the set
+        # (osm_process_complete.erl:118-124, 184, 253-257)
+        mem = rel_rows.select(
+            "doc_id", "offset", "seed", F.explode("members").alias("m")
+        ).join(
+            all_keys,
+            (F.col("m.type") == all_keys.kind) & (F.col("m.ref") == all_keys.key_id),
+            "left_semi",
+        )
+        mem = mem.filter((F.col("seed").isNotNull()) | (F.col("m.type") == "relation"))
+        kept_members = mem.groupBy("doc_id", "offset").agg(
+            F.collect_set(F.struct(F.col("m.type").alias("type"), F.col("m.ref").alias("ref"))).alias(
+                "kept_m"
+            )
+        )
+        rel_out = rel_rows.join(kept_members, _WAY_KEY, "left").withColumn(
+            "kept_m", F.coalesce(F.col("kept_m"), F.expr("array()"))
+        )
+    else:
+        sel_rel = select_relations_non_complete(relations, keys)
+        rel_rows = relations.join(sel_rel.select("doc_id", "offset"), _WAY_KEY, "left_semi")
+        # members at processing time: nodes/ways in set + relations selected
+        # EARLIER in stream order (osm_process_non_complete.erl:95-105)
+        sel_rel_keys = sel_rel.select(
+            F.lit("relation").alias("kind"),
+            F.col("rid").alias("key_id"),
+            F.col("doc_id").alias("k_doc"),
+            F.col("offset").alias("k_off"),
+        )
+        nw_keys = keys.select("kind", "key_id", F.lit(None).cast("string").alias("k_doc"), F.lit(None).cast("int").alias("k_off"))
+        all_keys = nw_keys.unionByName(sel_rel_keys)
+        mem = rel_rows.select("doc_id", "offset", F.explode("members").alias("m")).join(
+            all_keys,
+            (F.col("m.type") == all_keys.kind) & (F.col("m.ref") == all_keys.key_id),
+            "inner",
+        )
+        mem = mem.filter(
+            F.col("k_doc").isNull()
+            | (F.col("k_doc") < F.col("doc_id"))
+            | ((F.col("k_doc") == F.col("doc_id")) & (F.col("k_off") < F.col("offset")))
+        )
+        kept_members = mem.groupBy("doc_id", "offset").agg(
+            F.collect_set(F.struct(F.col("m.type").alias("type"), F.col("m.ref").alias("ref"))).alias(
+                "kept_m"
+            )
+        )
+        rel_out = rel_rows.join(kept_members, _WAY_KEY, "inner")
+
+    # ---- output span filtering (verbatim child spans, filtered) ----
+    ways_out = ways_sel.withColumn(
+        "out_child_spans",
+        F.expr(
+            "filter(child_spans, c -> c.kind != 'nd'"
+            " OR array_contains(kept_nds, from_json(c.text, 'ref BIGINT').ref))"
+        ),
+    )
+    rel_out = rel_out.withColumn(
+        "out_child_spans",
+        F.expr(
+            "filter(child_spans, c -> c.kind != 'member'"
+            " OR exists(kept_m, k -> k.type = from_json(c.text, 'type STRING, ref BIGINT').type"
+            "                    AND k.ref  = from_json(c.text, 'type STRING, ref BIGINT').ref))"
+        ),
+    )
+
+    return ExtractResult(
+        nodes=_as_out(nodes_sel, "node", PHASE_NODE, "child_spans"),
+        completion=(
+            _as_out(comp, "node", PHASE_COMPLETION, "child_spans") if complete else None
+        ),
+        ways=_as_out(ways_out, "way", PHASE_WAY, "out_child_spans"),
+        relations=_as_out(rel_out, "relation", PHASE_RELATION, "out_child_spans"),
+        passthrough=passthrough,
+    )

@@ -1,0 +1,184 @@
+"""End-to-end extraction goldens — ports processor_SUITE.erl:177-264.
+
+Non-complete: exactly nodes {1,2,3}, way 1 (node list projected to
+[1,2,3,1]), relation 1 (members projected to {way 1}).  Complete: adds
+node 4 (completion), relations 2 and 4 (closure), way 1 keeps [1,2,3,4,1].
+The reference counts 7/10 objects including the osm header + endDocument
+markers; as element rows that is 5/8.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from osm_cut_spark.functions.cells import polygon_cell_cover
+from osm_cut_spark.operators.extract import extract
+from osm_cut_spark.sources.docs import (
+    doc_rows_to_spark,
+    elements_to_doc_rows,
+    spans_to_elements,
+)
+from osm_cut_spark.sources.osm_xml import load_osm_xml
+from osm_cut_spark.sources.poly import compile_poly
+
+FIXTURE_OSM = "/root/reference/test/processor_SUITE_data/osm/1.osm"
+FIXTURE_POLY = "/root/reference/test/processor_SUITE_data/poly/simple.poly"
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    els = load_osm_xml(FIXTURE_OSM)
+    poly = compile_poly(FIXTURE_POLY)
+    cover = polygon_cell_cover(poly)
+    return els, poly, cover
+
+
+def _run(spark, els, poly, cover, complete, elements_per_doc=0):
+    docs = doc_rows_to_spark(spark, elements_to_doc_rows(els, elements_per_doc))
+    return extract(spark, docs, poly, complete=complete, cover=cover)
+
+
+def _collect_elements(result):
+    rows = result.elements().orderBy("phase", "doc_id", "offset").collect()
+    return [(r.phase, r.kind, r.id) for r in rows]
+
+
+def _projected(el, nds=None, members=None):
+    out = dict(el)
+    if nds is not None:
+        out["nds"] = nds
+    if members is not None:
+        out["members"] = members
+    return out
+
+
+def test_non_complete_golden(spark, fixture):
+    els, poly, cover = fixture
+    result = _run(spark, els, poly, cover, complete=False)
+    got = _collect_elements(result)
+    assert got == [
+        (0, "node", 1),
+        (0, "node", 2),
+        (0, "node", 3),
+        (2, "way", 1),
+        (3, "relation", 1),
+    ]
+    # deep record equality via the documents() span output
+    docs_out = result.documents().collect()
+    assert len(docs_out) == 1
+    decoded = spans_to_elements([tuple(s) for s in docs_out[0].spans])
+    by_id = {(e["kind"], e["id"]): e for e in decoded}
+    assert by_id[("node", 1)] == els[0]
+    assert by_id[("node", 3)] == els[2]  # tags + metadata intact
+    assert by_id[("way", 1)] == _projected(els[6], nds=[1, 2, 3, 1])
+    assert by_id[("relation", 1)] == _projected(els[8], members=[("way", 1, "")])
+
+
+def test_non_complete_span_sequence(spark, fixture):
+    """Output doc == input doc filtered to kept spans, offsets renumbered —
+    byte-exact (kind, text, media_ref, order) equality."""
+    els, poly, cover = fixture
+    result = _run(spark, els, poly, cover, complete=False)
+    expected_els = [
+        els[0],
+        els[1],
+        els[2],
+        _projected(els[6], nds=[1, 2, 3, 1]),
+        _projected(els[8], members=[("way", 1, "")]),
+    ]
+    expected = elements_to_doc_rows(expected_els)[0]["spans"]
+    got = [tuple(s) for s in result.documents().collect()[0].spans]
+    assert got == expected
+
+
+def test_complete_golden(spark, fixture):
+    els, poly, cover = fixture
+    result = _run(spark, els, poly, cover, complete=True)
+    got = _collect_elements(result)
+    assert got == [
+        (0, "node", 1),
+        (0, "node", 2),
+        (0, "node", 3),
+        (1, "node", 4),  # completion node (outside, referenced by way 1)
+        (2, "way", 1),
+        (3, "relation", 1),
+        (3, "relation", 2),
+        (3, "relation", 4),
+    ]
+    docs_out = result.documents().collect()
+    decoded = spans_to_elements([tuple(s) for s in docs_out[0].spans])
+    by_id = {(e["kind"], e["id"]): e for e in decoded}
+    assert by_id[("node", 4)] == els[3]  # written whole, with its tag
+    assert by_id[("way", 1)] == els[6]  # FULL node list [1,2,3,4,1]
+    assert by_id[("relation", 1)] == _projected(els[8], members=[("way", 1, "")])
+    assert by_id[("relation", 2)] == els[9]  # members [(node,4,'')] all kept
+    assert by_id[("relation", 4)] == _projected(els[11], members=[("relation", 2, "")])
+
+
+def test_complete_span_sequence(spark, fixture):
+    els, poly, cover = fixture
+    result = _run(spark, els, poly, cover, complete=True)
+    expected_els = [
+        els[0],
+        els[1],
+        els[2],
+        els[3],
+        els[6],
+        _projected(els[8], members=[("way", 1, "")]),
+        els[9],
+        _projected(els[11], members=[("relation", 2, "")]),
+    ]
+    expected = elements_to_doc_rows(expected_els)[0]["spans"]
+    got = [tuple(s) for s in result.documents().collect()[0].spans]
+    assert got == expected
+
+
+@pytest.mark.parametrize("complete,n", [(False, 5), (True, 8)])
+def test_chunked_docs_same_selection(spark, fixture, complete, n):
+    """Splitting elements across documents must not change the selection
+    (closure and joins are cross-document)."""
+    els, poly, cover = fixture
+    result = _run(spark, els, poly, cover, complete=complete, elements_per_doc=3)
+    got = _collect_elements(result)
+    assert len(got) == n
+    assert {(k, i) for _, k, i in got} == {
+        (k, i) for _, k, i in _collect_elements(_run(spark, els, poly, cover, complete))
+    }
+
+
+def test_synthetic_extraction_with_passthrough(spark, fixture):
+    _, poly, cover = fixture
+    from osm_cut_spark.sources.docs import synthetic_docs_spark
+
+    docs = synthetic_docs_spark(spark, 20, seed=42)
+    result = extract(spark, docs, poly, complete=True, cover=cover)
+    out_docs = {r.doc_id: [tuple(s) for s in r.spans] for r in result.documents().collect()}
+    assert out_docs, "some documents must be selected"
+    in_docs = {r.doc_id: [tuple(s) for s in r.spans] for r in docs.collect()}
+    for doc_id, spans in out_docs.items():
+        src = in_docs[doc_id]
+        # offsets contiguous
+        assert [s[3] for s in spans] == list(range(len(spans)))
+        # output spans are a subsequence of input spans (ignoring offsets)
+        src_seq = [(s[0], s[1], s[2]) for s in src]
+        out_seq = [(s[0], s[1], s[2]) for s in spans]
+        assert _is_subsequence(out_seq, src_seq), doc_id
+        # passthrough text/media spans preserved for kept docs
+        src_media = [s for s in src_seq if s[0] == "media"]
+        out_media = [s for s in out_seq if s[0] == "media"]
+        assert out_media == src_media
+
+
+def _is_subsequence(sub, seq):
+    it = iter(seq)
+    return all(any(x == y for y in it) for x in sub)
+
+
+def test_no_selection_yields_empty(spark, fixture):
+    els, _, _ = fixture
+    from osm_cut_spark.functions.geometry import prepare_polygon
+
+    far = prepare_polygon([("include", [(100, 100), (101, 100), (101, 101), (100, 101)])])
+    result = _run(spark, els, far, polygon_cell_cover(far), complete=True)
+    assert result.elements().count() == 0
+    assert result.documents().count() == 0
