@@ -1,38 +1,420 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship polygon-cut extraction end-to-end on a
+deterministic synthetic interleaved-docs table (the engine's native input
+shape per BASELINE.json) using the reference fixture polygon.
+
+``queries()`` exposes one DuckDB-checkable DataFrame builder per operator
+family from SURVEY.md §2 plus the new training-pipeline capabilities;
+``oracle_sql()`` holds the matching ANSI SQL.  Column names and expression
+*shapes* (float operation order) are kept identical on both sides so the
+order-insensitive value-hash comparison is exact.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+TRIANGLE = [(0.0, 0.0), (5.0, 0.0), (10.0, 5.0)]
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Polygon-cut extraction (complete-objects) on a synthetic interleaved
+    document table; returns the phased element output."""
+    from osm_cut_spark.functions.geometry import prepare_polygon
+    from osm_cut_spark.operators.extract import extract
+    from osm_cut_spark.sources.docs import synthetic_docs_spark
+
+    docs = synthetic_docs_spark(spark, 200, seed=42)
+    poly = prepare_polygon([("include", TRIANGLE)])
+    result = extract(spark, docs, poly, complete=True)
+    return result.elements().orderBy("phase", "doc_id", "offset")
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark, sf_dir):
+    """Deterministic planar points derived from lineitem integer keys.
+
+    The arithmetic shape ((k % m) / 100.0) is replayed verbatim in the
+    oracle so boundary points land bit-identically in both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pt_id"),
+        ((F.col("l_orderkey") % 1500) / 100.0).alias("x"),
+        ((F.col("l_partkey") % 1100) / 100.0).alias("y"),
+    )
+
+_POINTS_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS pt_id,
+       (l_orderkey % 1500) / 100.0 AS x,
+       (l_partkey % 1100) / 100.0 AS y
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_pip_node_filter(spark, sf_dir):
+    """P1/P2/P5: vectorized even-odd PIP (boundary-inclusive) via the real
+    pandas-UDF kernel; oracle replays it as inclusive half-planes (exact for
+    the convex fixture triangle, same float expression shape)."""
+    from osm_cut_spark.functions.cells import polygon_cell_cover
+    from osm_cut_spark.functions.geometry import prepare_polygon
+    from osm_cut_spark.operators.extract import make_pip_udf
+
+    poly = prepare_polygon([("include", TRIANGLE)])
+    pip = make_pip_udf(spark, poly, polygon_cell_cover(poly))
+    return _points(spark, sf_dir).filter(pip(F.col("x"), F.col("y"))).select("pt_id")
+
+
+def q_bbox_filter(spark, sf_dir):
+    """P3: native bbox prune predicate (pushdown-visible)."""
+    return (
+        _points(spark, sf_dir)
+        .filter(F.col("x").between(0.0, 10.0) & F.col("y").between(0.0, 5.0))
+        .select("pt_id")
+    )
+
+
+def q_way_semijoin(spark, sf_dir):
+    """J1: way ⋉ selected-node semi-join with kept-ref aggregation
+    (way ≙ order, node refs ≙ its lineitems' part keys, selected ≙ small parts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sel = part.filter(F.col("p_size") < 15).select("p_partkey")
+    return (
+        li.join(sel, li.l_partkey == sel.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("way_id"))
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("l_partkey").alias("sum_refs"))
+    )
+
+
+def q_completion_refs(spark, sf_dir):
+    """J2: completion join — refs of kept ways outside the selected set."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sel = part.filter(F.col("p_size") < 15).select("p_partkey")
+    kept_ways = li.join(sel, li.l_partkey == sel.p_partkey, "left_semi").select("l_orderkey").distinct()
+    return (
+        li.join(kept_ways, "l_orderkey", "left_semi")
+        .join(sel, li.l_partkey == sel.p_partkey, "left_anti")
+        .select(F.col("l_partkey").alias("ref"))
+        .distinct()
+    )
+
+
+def q_relation_closure(spark, sf_dir):
+    """J4: iterative ancestor closure to fixpoint over child->parent edges."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("event_id") % 97).alias("child"), F.col("user_id").alias("parent")
+    ).distinct().persist()
+    seen = edges.filter(F.col("child") < 5).select(F.col("child").alias("rid")).distinct().persist()
+    frontier = seen
+    for _ in range(64):
+        nxt = (
+            edges.join(frontier, edges.child == frontier.rid)
+            .select(F.col("parent").alias("rid"))
+            .distinct()
+            .join(seen, "rid", "left_anti")
+            .persist()
+        )
+        if nxt.count() == 0:
+            break
+        seen = seen.unionByName(nxt).persist()
+        frontier = nxt
+    edges.unpersist()
+    return seen
+
+
+def q_knn_cosine(spark, sf_dir):
+    """New capability: exact top-10 cosine kNN (JVM fold, no Python)."""
+    from osm_cut_spark.operators.knn import knn_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head().embedding]
+    out = knn_bruteforce(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    return out.select("rank", "vec_id")
+
+
+def q_window_topk(spark, sf_dir):
+    """Top-K per group via window row_number (A5-ordering analog)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Dedup: exact hash-groupBy clusters."""
+    from osm_cut_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_token_stats(spark, sf_dir):
+    """Text analysis: whitespace + BPE-ish regex token counting."""
+    from osm_cut_spark.operators.textstats import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    """Text analysis: quality scoring features + integer score."""
+    from osm_cut_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_family(spark, sf_dir):
+    """Text analysis: character-class language family heuristic."""
+    from osm_cut_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_raster_vector_join(spark, sf_dir):
+    """New capability shape: tile-keyed raster<->vector equi join + agg
+    (integer tiles so the oracle replays; real cell ids in pytest)."""
+    cust = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    pts = cust.select(
+        F.col("c_custkey"),
+        F.floor((F.col("c_custkey") % 160) / 10.0).cast("int").alias("tx"),
+        F.floor((F.col("c_nationkey") * 17 % 110) / 10.0).cast("int").alias("ty"),
+    )
+    tiles = part.select(
+        (F.col("p_partkey") % 16).cast("int").alias("tx"),
+        (F.col("p_size") % 11).cast("int").alias("ty"),
+    ).distinct()
+    return (
+        pts.join(tiles, ["tx", "ty"])
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n_pts"), F.sum("c_custkey").alias("sum_keys"))
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + cumsum window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    sess = ev.withColumn("new_s", F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0))
+    return (
+        sess.groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """Dedup: MinHash-LSH candidate pairs verified by exact Jaccard
+    (xxhash64 not available in DuckDB -> rows-only check)."""
+    from osm_cut_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.3, n_perm=16, bands=8
+    ).select("id_a", "id_b")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Dedup: SimHash near-dup pairs (rows-only check)."""
+    from osm_cut_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6).select(
+        "id_a", "id_b", "hamming"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pip_node_filter": q_pip_node_filter,
+        "bbox_filter": q_bbox_filter,
+        "way_semijoin": q_way_semijoin,
+        "completion_refs": q_completion_refs,
+        "relation_closure": q_relation_closure,
+        "knn_cosine": q_knn_cosine,
+        "window_topk": q_window_topk,
+        "exact_dedup": q_exact_dedup,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_family": q_lang_family,
+        "raster_vector_join": q_raster_vector_join,
+        "sessionize": q_sessionize,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # inclusive half-planes with the kernel's exact float shape
+        # R = (x*a + y*b) + c per edge of the fixture triangle
+        "pip_node_filter": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT pt_id FROM pts
+            WHERE (x * 0.0 + y * 5.0) + 0.0 >= 0
+              AND (x * 5.0 + y * (-5.0)) + (-25.0) <= 0
+              AND (x * 5.0 + y * (-10.0)) + 0.0 >= 0
+        """,
+        "bbox_filter": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT pt_id FROM pts
+            WHERE x BETWEEN 0.0 AND 10.0 AND y BETWEEN 0.0 AND 5.0
+        """,
+        "way_semijoin": """
+            SELECT l_orderkey AS way_id, count(*) AS n_kept, CAST(sum(l_partkey) AS BIGINT) AS sum_refs
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_size < 15
+            GROUP BY l_orderkey
+        """,
+        "completion_refs": """
+            WITH sel AS (SELECT p_partkey FROM part WHERE p_size < 15),
+                 kept AS (SELECT DISTINCT l_orderkey FROM lineitem
+                          JOIN sel ON p_partkey = l_partkey)
+            SELECT DISTINCT l_partkey AS ref FROM lineitem
+            WHERE l_orderkey IN (SELECT l_orderkey FROM kept)
+              AND l_partkey NOT IN (SELECT p_partkey FROM sel)
+        """,
+        "relation_closure": """
+            WITH RECURSIVE edges AS (
+                SELECT DISTINCT event_id % 97 AS child, user_id AS parent FROM events
+            ),
+            reach(rid) AS (
+                SELECT DISTINCT child FROM edges WHERE child < 5
+                UNION
+                SELECT e.parent FROM edges e JOIN reach r ON e.child = r.rid
+            )
+            SELECT rid FROM reach
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            sims AS (
+                SELECT e.vec_id,
+                       list_dot_product(e.embedding::DOUBLE[], q.qv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+                FROM embeddings e, q WHERE e.vec_id != 0
+            )
+            SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank, vec_id
+            FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "window_topk": """
+            SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars,
+                   CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS INT) AS n_ws_tokens,
+                   CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS INT) AS n_distinct_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "quality_score": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS toks,
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                       length(text) AS n_chars
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       len(list_filter(toks, t -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is','it',
+                            'that','for','on','as','with','at','by','from','this','be'], t)))
+                           AS n_stopwords,
+                       n_alpha, n_chars,
+                       len(list_distinct(toks)) AS n_distinct
+                FROM f
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(n_stopwords AS INT) AS n_stopwords,
+                   CAST(n_alpha AS INT) AS n_alpha_chars,
+                   CAST(n_distinct AS INT) AS n_distinct,
+                   CAST(floor(least(n_tokens, 200) / 4
+                        + (CASE WHEN n_tokens > 0 THEN (n_stopwords * 100) / n_tokens ELSE 0 END) / 4
+                        + (CASE WHEN n_chars > 0 THEN (n_alpha * 25) / n_chars ELSE 0 END)) AS INT)
+                       AS quality
+            FROM g
+        """,
+        "lang_family": """
+            WITH c AS (
+                SELECT doc_id,
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_latin,
+                       length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS n_cyrillic,
+                       length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_latin AS INT) AS n_latin,
+                   CAST(n_cyrillic AS INT) AS n_cyrillic,
+                   CAST(n_cjk AS INT) AS n_cjk,
+                   CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk AND n_latin > 0 THEN 'latin'
+                        WHEN n_cyrillic > n_latin AND n_cyrillic >= n_cjk THEN 'cyrillic'
+                        WHEN n_cjk > 0 THEN 'cjk'
+                        ELSE 'unknown' END AS lang_family
+            FROM c
+        """,
+        "raster_vector_join": """
+            WITH pts AS (
+                SELECT c_custkey,
+                       CAST(floor((c_custkey % 160) / 10.0) AS INT) AS tx,
+                       CAST(floor((c_nationkey * 17 % 110) / 10.0) AS INT) AS ty
+                FROM customer
+            ),
+            tiles AS (
+                SELECT DISTINCT CAST(p_partkey % 16 AS INT) AS tx,
+                                CAST(p_size % 11 AS INT) AS ty
+                FROM part
+            )
+            SELECT tx, ty, count(*) AS n_pts, CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+            FROM pts JOIN tiles USING (tx, ty)
+            GROUP BY tx, ty
+        """,
+        "sessionize": """
+            WITH l AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                 OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM l GROUP BY user_id
+        """,
+        # minhash_pairs / simhash_pairs: xxhash64 has no DuckDB equivalent
+        # -> intentionally omitted (driver records rows-only checks)
+    }

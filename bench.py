@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline = the flagship polygon-cut extraction (complete + non-complete)
+over a deterministic synthetic interleaved-docs table sized by sf, plus
+the operator queries (PIP filter, semi-join, kNN, dedup, text stats) on
+the driver-provided sf tables.
+
+``--scaling`` re-runs the flagship at two parallelism levels (N=8 vs
+4N=32 cores by default) in separate JVMs on the SAME cached input and
+reports throughput + scaling efficiency (the sandbox stand-in for the
+north rule's N vs 4N executor requirement); results also land in
+BENCH/BASELINE.md via tools/update_baseline.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE_ROOT = Path(os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/osm_cut_bench_cache"))
+
+DOCS_PER_SF = 200_000  # sf 1.0 => 200k docs (~1.6M nodes); sf 0.1 => 20k docs
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def docs_parquet(spark, sf: float) -> tuple[str, int]:
+    """Generate-once-and-cache the synthetic docs table for this sf."""
+    n_docs = max(200, int(DOCS_PER_SF * sf))
+    path = CACHE_ROOT / f"docs_sf{sf}_n{n_docs}.parquet"
+    if not path.exists():
+        from osm_cut_spark.sources.docs import synthetic_docs_spark
+
+        df = synthetic_docs_spark(spark, n_docs, partitions=max(CPUS, 8))
+        df.write.mode("overwrite").parquet(str(path))
+    return str(path), n_docs
+
+
+def run_once(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry
+    from osm_cut_spark.functions.geometry import prepare_polygon
+    from osm_cut_spark.operators.extract import extract
+
+    sf = sf_of(sf_dir)
+    path, n_docs = docs_parquet(spark, sf)
+    docs = spark.read.parquet(path)
+    poly = prepare_polygon([("include", entry.TRIANGLE)])
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # warm the JVM/Arrow paths once with a tiny slice
+    docs.limit(10).count()
+
+    timed("extract_complete", lambda: noop(extract(spark, docs, poly, complete=True).elements()))
+    timed(
+        "extract_noncomplete",
+        lambda: noop(extract(spark, docs, poly, complete=False).elements()),
+    )
+    timed(
+        "extract_documents_out",
+        lambda: noop(extract(spark, docs, poly, complete=False).documents()),
+    )
+
+    qs = entry.queries()
+    for name in [
+        "pip_node_filter",
+        "way_semijoin",
+        "completion_refs",
+        "relation_closure",
+        "knn_cosine",
+        "window_topk",
+        "exact_dedup",
+        "minhash_pairs",
+        "token_stats",
+        "raster_vector_join",
+    ]:
+        timed(name, lambda n=name: noop(qs[n](spark, sf_dir)))
+
+    headline = timings["extract_complete"]
+    return {
+        "metric": "polygon_cut_extract_complete_wall",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "cpus": CPUS,
+        "throughput_docs_per_sec": round(n_docs / headline, 1) if headline else None,
+    }
+
+
+def main():
+    if "--scaling" in sys.argv:
+        return scaling_main()
+    from osm_cut_spark.session import get_session
+
+    spark = get_session(app_name="osm_cut_bench", cpus=CPUS)
+    result = run_once(spark, SF_DIR)
+    print(json.dumps(result))
+
+
+def scaling_main():
+    """Run the flagship at two parallelism levels in fresh JVMs."""
+    out = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+        proc = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True, timeout=3600
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        out[cpus] = json.loads(line)
+    t8 = out[8]["queries"]["extract_complete"]
+    t32 = out[32]["queries"]["extract_complete"]
+    n = out[32]["n_docs"]
+    thr8, thr32 = n / t8, n / t32
+    eff = (thr32 / thr8) / 4.0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32_cores",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "queries": {"cores8_sec": t8, "cores32_sec": t32},
+                "sf": sf_of(SF_DIR),
+                "throughput_docs_per_sec": {"cores8": round(thr8, 1), "cores32": round(thr32, 1)},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

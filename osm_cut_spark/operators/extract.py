@@ -227,7 +227,10 @@ def base_key_df(
 
 
 def relation_closure_complete(
-    relations: DataFrame, base_keys: DataFrame, max_iters: int = 64
+    relations: DataFrame,
+    base_keys: DataFrame,
+    max_iters: int = 64,
+    driver_max_edges: int = 2_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Complete-mode relation selection.
 
@@ -235,25 +238,51 @@ def relation_closure_complete(
     node/way member in ``base_keys``; the ancestor closure follows
     child->parent links recorded for NON-seed relations only
     (osm_process_complete.erl:109-134, 229-251).
+
+    The relation->relation link graph is tiny relative to the data (OSM
+    planet: <<1% of elements), so below ``driver_max_edges`` the closure
+    runs as a single driver-side worklist walk over collected edges (3
+    jobs total); above it, an iterative DataFrame self-join to fixpoint.
     """
+    spark = relations.sparkSession
     seeds = (
         _member_hits(relations, base_keys)
         .join(relations, _WAY_KEY)
         .select(F.col("id").alias("rid"))
         .distinct()
+        .persist()
     )
-    non_seed = relations.join(
-        seeds, relations.id == seeds.rid, "left_anti"
-    )
+    non_seed = relations.join(seeds, relations.id == seeds.rid, "left_anti")
     edges = (
         non_seed.select(F.col("id").alias("parent"), F.explode("members").alias("m"))
         .filter(F.col("m.type") == "relation")
         .select(F.col("m.ref").alias("child"), "parent")
+        .persist()
     )
-    edges = edges.persist()
-    edges.count()
+    n_edges = edges.count()
 
-    seen = seeds.persist()
+    if n_edges == 0:
+        edges.unpersist()
+        return seeds, seeds
+
+    if n_edges <= driver_max_edges:
+        # driver-side worklist (osm_process_complete.erl:237-251 shape)
+        links: dict[int, list[int]] = {}
+        for r in edges.collect():
+            links.setdefault(r.child, []).append(r.parent)
+        seen_set = {r.rid for r in seeds.collect()}
+        work = list(seen_set)
+        while work:
+            h = work.pop()
+            for p in links.get(h, ()):
+                if p not in seen_set:
+                    seen_set.add(p)
+                    work.append(p)
+        edges.unpersist()
+        out = spark.createDataFrame([(int(r),) for r in sorted(seen_set)], "rid BIGINT")
+        return out, seeds
+
+    seen = seeds
     frontier = seen
     for _ in range(max_iters):
         parents = (
@@ -272,7 +301,10 @@ def relation_closure_complete(
 
 
 def select_relations_non_complete(
-    relations: DataFrame, base_keys: DataFrame, max_iters: int = 64
+    relations: DataFrame,
+    base_keys: DataFrame,
+    max_iters: int = 64,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Non-complete relation selection: stream-order-dependent.
 
@@ -281,10 +313,11 @@ def select_relations_non_complete(
     earlier) plus relations already selected at an earlier (doc_id, offset).
     Returns selected relation keys (doc_id, offset, rid, rord implicit).
     """
+    spark = relations.sparkSession
     direct = _member_hits(relations, base_keys).join(relations, _WAY_KEY).select(
         "doc_id", "offset", F.col("id").alias("rid")
     )
-    # relation->relation edges with both endpoints' stream order
+    # relation->relation edges with the parent's stream order
     redges = (
         relations.select(
             F.col("id").alias("parent"),
@@ -296,15 +329,34 @@ def select_relations_non_complete(
         .select("parent", "p_doc", "p_off", F.col("m.ref").alias("child"))
         .persist()
     )
-    if redges.count() == 0:
+    n_edges = redges.count()
+    if n_edges == 0:
         redges.unpersist()
         return direct.distinct()
 
+    if n_edges <= driver_max_edges:
+        # driver-side ordered worklist: a parent is selected when a child
+        # relation was selected at an earlier (doc_id, offset)
+        by_child: dict[int, list] = {}
+        for r in redges.collect():
+            by_child.setdefault(r.child, []).append((r.p_doc, r.p_off, r.parent))
+        seen_set = {(r.doc_id, r.offset, r.rid) for r in direct.distinct().collect()}
+        work = list(seen_set)
+        while work:
+            c_doc, c_off, c_rid = work.pop()
+            for p_doc, p_off, parent in by_child.get(c_rid, ()):
+                key = (p_doc, p_off, parent)
+                if key not in seen_set and (c_doc, c_off) < (p_doc, p_off):
+                    seen_set.add(key)
+                    work.append(key)
+        redges.unpersist()
+        return spark.createDataFrame(
+            [(d, int(o), int(r)) for d, o, r in sorted(seen_set)],
+            "doc_id STRING, offset INT, rid BIGINT",
+        )
+
     seen = direct.distinct().persist()
     frontier = seen
-    rel_by_id = relations.select(
-        F.col("id").alias("parent"), F.col("doc_id").alias("p_doc"), F.col("offset").alias("p_off")
-    )
     for _ in range(max_iters):
         earlier = (
             redges.join(frontier, redges.child == frontier.rid)
@@ -321,7 +373,6 @@ def select_relations_non_complete(
             break
         seen = seen.unionByName(earlier).persist()
         frontier = earlier
-    del rel_by_id
     redges.unpersist()
     return seen
 
@@ -427,24 +478,32 @@ def extract(
     assume_sorted: bool = True,
 ) -> ExtractResult:
     """Full polygon-cut extraction over an interleaved-docs DataFrame."""
-    nodes, ways, relations = ingest.parse_documents(docs, assume_sorted)
+    # parse once, cache: the exploded-elements DF feeds nodes/ways/relations
+    # and is consumed by several downstream branches
+    elements = ingest.explode_elements(docs, assume_sorted).persist()
+    nodes = ingest.parse_nodes(elements)
+    ways = ingest.parse_ways(elements)
+    relations = ingest.parse_relations(elements)
     passthrough = ingest.parse_passthrough_spans(docs, assume_sorted)
     if cover is None:
         cover = polygon_cell_cover(poly)
 
+    # the selected-key sets are consumed by several joins each — persist
+    # them so the lazy union action doesn't recompute the whole upstream
+    # pipeline per consumer
     nodes_sel = select_nodes(spark, nodes, poly, cover).persist()
-    sel_node_ids = nodes_sel.select(F.col("id").alias("node_id")).distinct()
+    sel_node_ids = nodes_sel.select(F.col("id").alias("node_id")).distinct().persist()
 
     ways_sel = select_ways(ways, sel_node_ids, complete).persist()
-    way_ids = ways_sel.select(F.col("id").alias("way_id")).distinct()
+    way_ids = ways_sel.select(F.col("id").alias("way_id")).distinct().persist()
 
     comp: DataFrame | None = None
     comp_ids: DataFrame | None = None
     if complete:
         comp = completion_nodes(ways_sel, nodes, sel_node_ids).persist()
-        comp_ids = comp.select(F.col("id").alias("node_id")).distinct()
+        comp_ids = comp.select(F.col("id").alias("node_id")).distinct().persist()
 
-    keys = base_key_df(sel_node_ids, comp_ids, way_ids)
+    keys = base_key_df(sel_node_ids, comp_ids, way_ids).persist()
 
     if complete:
         selected_rel_ids, seed_ids = relation_closure_complete(relations, keys)

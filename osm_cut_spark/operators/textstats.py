@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data pipelines (all JVM built-ins).
+
+Language-ID (character n-gram heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting (whitespace + BPE-ish regex
+split), and rolling-hash document fingerprinting.  Outputs favor integer /
+exactly-reproducible arithmetic so the DuckDB oracle can replay them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_STOPWORDS = (
+    "the,a,an,and,or,of,to,in,is,it,that,for,on,as,with,at,by,from,this,be"
+).split(",")
+
+# BPE-ish pretokenizer: words, numbers, or single non-space symbols
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_ws_tokens, n_distinct_tokens, n_bpe_tokens)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a 0..100 integer score.
+
+    Features: stopword hits (English stopword list), alpha fraction,
+    mean word length band, repetition (distinct/total).  Integer score so
+    cross-engine comparison is exact.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+    n_chars = F.length(text_col)
+    n_distinct = F.size(F.array_distinct(toks))
+    # floor() (not cast) so the DuckDB oracle can replay the rounding exactly
+    score = F.floor(
+        F.least(n, F.lit(200)) / 4  # length credit up to 50
+        + F.when(n > 0, (n_stop * 100) / n).otherwise(0) / 4  # stopword credit up to 25
+        + F.when(n_chars > 0, (n_alpha * 25) / n_chars).otherwise(0)  # alpha credit up to 25
+    ).cast("int")
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_alpha.alias("n_alpha_chars"),
+        n_distinct.alias("n_distinct"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Character-class language family heuristic (deterministic).
+
+    Counts characters per script class and labels latin/cjk/cyrillic/other
+    by majority — integer comparisons only, replayable in ANSI SQL.
+    """
+    n_latin = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+    n_cyr = F.length(F.regexp_replace(F.col(text_col), r"[^Ѐ-ӿ]", ""))
+    n_cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    label = (
+        F.when((n_latin >= n_cyr) & (n_latin >= n_cjk) & (n_latin > 0), "latin")
+        .when((n_cyr > n_latin) & (n_cyr >= n_cjk), "cyrillic")
+        .when(n_cjk > 0, "cjk")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        F.col(id_col),
+        n_latin.alias("n_latin"),
+        n_cyr.alias("n_cyrillic"),
+        n_cjk.alias("n_cjk"),
+        label.alias("lang_family"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprint: xxhash64 of 8 evenly-spaced text
+    windows + full-text hash (winnowing-style sketch, fixed offsets)."""
+    n = F.length(text_col)
+    win = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.xxhash64(F.substring(F.col(text_col), (i * F.greatest(n - 32, F.lit(1)) / 8).cast("int") + 1, 32)),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.xxhash64(F.col(text_col)).alias("full_hash"),
+        win.alias("window_hashes"),
+    )

@@ -1,0 +1,126 @@
+"""Tests for kNN, dedup, and textstats operators on small Spark frames."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_knn_bruteforce_matches_numpy(spark):
+    from osm_cut_spark.operators.knn import knn_bruteforce
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    q = mat[ids == 0][0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        [(s, i) for s, i in zip(sims, ids) if i != 0], key=lambda t: (-t[0], t[1])
+    )
+    want = [int(i) for _, i in order[:10]]
+    got = [r.vec_id for r in knn_bruteforce(emb.filter("vec_id != 0"), list(q), 10).collect()]
+    assert got == want
+
+
+def test_knn_points_cell_expansion(spark):
+    from osm_cut_spark.operators.extract import make_cell_udf
+    from osm_cut_spark.operators.knn import knn_points
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 13), float(i % 7)) for i in range(200)], "id LONG, lon DOUBLE, lat DOUBLE"
+    ).withColumn("cell_r7", make_cell_udf(spark, 7)(F.col("lon"), F.col("lat")))
+    got = knn_points(spark, pts, 5.0, 3.0, k=5, res=7)
+    rows = got.collect()
+    assert len(rows) == 5
+    # verify against brute force
+    all_pts = pts.collect()
+    brute = sorted(all_pts, key=lambda r: (((r.lon - 5.0) ** 2 + (r.lat - 3.0) ** 2), r.id))[:5]
+    assert [r.id for r in rows] == [r.id for r in brute]
+
+
+def test_exact_dedup_clusters(spark):
+    from osm_cut_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc"), (4, "aa bb")], "doc_id LONG, text STRING"
+    )
+    got = {r.keep_id: r.n_dups for r in exact_dedup(df).collect()}
+    assert got == {1: 3, 3: 1}
+
+
+def test_minhash_finds_near_dups(spark):
+    from osm_cut_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words that share nothing with anything else here at all"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "doc_id LONG, text STRING"
+    )
+    got = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, jaccard_threshold=0.3).collect()}
+    assert (1, 4) in got  # exact dup pair
+    assert (1, 2) in got or (2, 4) in got  # near dup caught
+    assert (1, 3) not in got and (2, 3) not in got
+    # minhash candidates (verified) are a subset of exact jaccard pairs
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(df, jaccard_threshold=0.3).collect()}
+    assert got <= exact
+
+
+def test_simhash_hamming(spark):
+    from osm_cut_spark.operators.dedup import simhash_dup_pairs
+
+    base = " ".join(f"word{i}" for i in range(120))
+    near = base + " tail"  # changes only the final bigram shingles
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, "umm"), (4, base)], "doc_id LONG, text STRING"
+    )
+    rows = {(r.id_a, r.id_b): r.hamming for r in simhash_dup_pairs(df, max_hamming=8).collect()}
+    assert rows.get((1, 4)) == 0
+    assert (1, 2) in rows and rows[(1, 2)] <= 8
+    assert (1, 3) not in rows
+
+
+def test_token_stats_values(spark):
+    from osm_cut_spark.operators.textstats import token_stats
+
+    df = spark.createDataFrame([(1, "Hello world, 42 times!")], "doc_id LONG, text STRING")
+    r = token_stats(df).collect()[0]
+    assert r.n_chars == 22
+    assert r.n_ws_tokens == 4
+    # bpe: Hello world , 42 times ! -> 6
+    assert r.n_bpe_tokens == 6
+
+
+def test_quality_and_lang(spark, docs):
+    from osm_cut_spark.operators.textstats import lang_id, quality_score
+
+    q = quality_score(docs).collect()
+    assert all(0 <= r.quality <= 100 for r in q)
+    l = lang_id(docs).collect()
+    assert {r.lang_family for r in l} <= {"latin", "cyrillic", "cjk", "unknown"}
+
+
+def test_fingerprint_deterministic(spark, docs):
+    from osm_cut_spark.operators.textstats import fingerprint
+
+    a = {r.doc_id: (r.full_hash, tuple(r.window_hashes)) for r in fingerprint(docs).collect()}
+    b = {r.doc_id: (r.full_hash, tuple(r.window_hashes)) for r in fingerprint(docs).collect()}
+    assert a == b
+    assert all(len(v[1]) == 8 for v in a.values())
+
+
+def test_dedup_plan_stays_jvm(spark, docs):
+    """Dedup hot paths must not drop into Python eval."""
+    from osm_cut_spark.operators.dedup import minhash_lsh_pairs
+
+    plan = minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
