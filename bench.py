@@ -111,9 +111,15 @@ def run_once(spark, sf_dir: str) -> dict:
     }
 
 
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "400000"))
+STAR_VERTICES = int(os.environ.get("SPARK_GRAFT_STAR_VERTICES", "1000"))
+
+
 def main():
     if "--scaling" in sys.argv:
         return scaling_main()
+    if "--flagship" in sys.argv:
+        return flagship_main(sys.argv[sys.argv.index("--flagship") + 1])
     from osm_cut_spark.session import get_session
 
     spark = get_session(app_name="osm_cut_bench", cpus=CPUS)
@@ -121,20 +127,62 @@ def main():
     print(json.dumps(result))
 
 
+def _scaling_docs_path(spark=None) -> str:
+    """Generate-once the large scaling input with the distributed (JVM)
+    generator; cached parquet keyed by size."""
+    path = CACHE_ROOT / f"scaling_docs_n{SCALING_DOCS}.parquet"
+    if not path.exists():
+        from osm_cut_spark.session import get_session
+        from osm_cut_spark.sources.docs import synthetic_docs_distributed
+
+        spark = spark or get_session(app_name="osm_cut_gen", cpus=CPUS)
+        synthetic_docs_distributed(spark, SCALING_DOCS, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(str(path))
+    return str(path)
+
+
+def flagship_main(docs_path: str):
+    """Subprocess worker: time the flagship cut on the shared scaling input."""
+    from osm_cut_spark.functions.geometry import prepare_polygon, star_polygon
+    from osm_cut_spark.operators.extract import extract
+    from osm_cut_spark.session import get_session
+
+    spark = get_session(app_name="osm_cut_scaling", cpus=CPUS)
+    docs = spark.read.parquet(docs_path)
+    poly = prepare_polygon([("include", star_polygon(STAR_VERTICES))])
+    docs.limit(10).count()  # warm
+    t0 = time.perf_counter()
+    extract(spark, docs, poly, complete=True).elements().write.format("noop").mode(
+        "overwrite"
+    ).save()
+    wall = time.perf_counter() - t0
+    print(json.dumps({"wall_sec": round(wall, 3), "cpus": CPUS, "n_docs": SCALING_DOCS}))
+
+
 def scaling_main():
-    """Run the flagship at two parallelism levels in fresh JVMs."""
+    """Run the flagship at two parallelism levels (N=8 vs 4N=32 cores) in
+    fresh JVMs on the SAME input — the sandbox stand-in for the north
+    rule's N vs 4N executors."""
+    path = _scaling_docs_path()
     out = {}
     for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
         proc = subprocess.run(
-            [sys.executable, __file__], env=env, capture_output=True, text=True, timeout=3600
+            [sys.executable, __file__, "--flagship", path],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
         )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        out[cpus] = json.loads(line)
-    t8 = out[8]["queries"]["extract_complete"]
-    t32 = out[32]["queries"]["extract_complete"]
-    n = out[32]["n_docs"]
-    thr8, thr32 = n / t8, n / t32
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"flagship run at {cpus} cores produced no JSON")
+        out[cpus] = json.loads(lines[-1])
+    t8, t32 = out[8]["wall_sec"], out[32]["wall_sec"]
+    thr8, thr32 = SCALING_DOCS / t8, SCALING_DOCS / t32
     eff = (thr32 / thr8) / 4.0
     print(
         json.dumps(
@@ -144,6 +192,8 @@ def scaling_main():
                 "unit": "ratio",
                 "queries": {"cores8_sec": t8, "cores32_sec": t32},
                 "sf": sf_of(SF_DIR),
+                "n_docs": SCALING_DOCS,
+                "star_vertices": STAR_VERTICES,
                 "throughput_docs_per_sec": {"cores8": round(thr8, 1), "cores32": round(thr32, 1)},
             }
         )

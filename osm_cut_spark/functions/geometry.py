@@ -193,6 +193,24 @@ def prepare_polygon(rings: list[RingDef]) -> PreparedPolygon:
     return PreparedPolygon(include=tuple(include), exclude=tuple(exclude))
 
 
+def star_polygon(
+    n_vertices: int = 1000,
+    center: Point = (6.0, 3.5),
+    rmin: float = 2.0,
+    rmax: float = 5.5,
+    seed: int = 42,
+) -> list[Point]:
+    """Deterministic jagged star ring — a stand-in for real .poly files
+    (country polygons have thousands of vertices), used by benchmarks to
+    make the PIP kernel genuinely compute-bound."""
+    rng = np.random.default_rng(seed)
+    theta = np.linspace(0.0, 2.0 * np.pi, n_vertices, endpoint=False)
+    r = rng.uniform(rmin, rmax, n_vertices)
+    xs = center[0] + r * np.cos(theta)
+    ys = center[1] + r * np.sin(theta)
+    return [(float(x), float(y)) for x, y in zip(xs, ys)]
+
+
 def segments_intersect_rect(
     ring: PreparedRing,
     xmin: float,

@@ -125,6 +125,23 @@ def make_cell_udf(spark: SparkSession, res: int):
     return cell
 
 
+def auto_cover(poly: PreparedPolygon, coarse_res: int = 7, max_cells: int = 2_000_000) -> CellCover:
+    """Build a cell cover whose fine resolution tracks the polygon's edge
+    scale: complex polygons (country .poly files have thousands of short
+    edges) need finer cells or every cell is a boundary cell and all points
+    pay the full edge test."""
+    exts = np.concatenate(
+        [
+            np.maximum(r.xmax - r.xmin, r.ymax - r.ymin)
+            for r in list(poly.include) + list(poly.exclude)
+        ]
+    )
+    med = float(np.median(exts)) if exts.size else 1.0
+    res = int(np.ceil(np.log2(360.0 / max(med, 1e-9))))
+    res = min(13, max(10, res))
+    return polygon_cell_cover(poly, coarse_res, res, max_cells=max_cells)
+
+
 def bbox_predicate(poly: PreparedPolygon) -> Column:
     """Native pre-filter on the include-rings bbox (Catalyst-visible)."""
     x0, x1, y0, y1 = poly.bbox
@@ -266,21 +283,36 @@ def relation_closure_complete(
         return seeds, seeds
 
     if n_edges <= driver_max_edges:
-        # driver-side worklist (osm_process_complete.erl:237-251 shape)
+        # driver-side worklist (osm_process_complete.erl:237-251 shape).
+        # Only the edge list and the seeds that actually touch it are
+        # collected; the result is seeds UNION the newly-found ancestors
+        # (shipped back via Arrow), so driver traffic is O(edges), not
+        # O(selected relations).
         links: dict[int, list[int]] = {}
         for r in edges.collect():
             links.setdefault(r.child, []).append(r.parent)
-        seen_set = {r.rid for r in seeds.collect()}
-        work = list(seen_set)
+        child_ids = list(links.keys())
+        cdf = spark.createDataFrame(
+            pd.DataFrame({"rid": np.array(child_ids, dtype=np.int64)})
+        )
+        graph_seeds = {r.rid for r in seeds.join(cdf, "rid", "left_semi").collect()}
+        seen_set = set(graph_seeds)
+        work = list(graph_seeds)
+        extra: set[int] = set()
         while work:
             h = work.pop()
             for p in links.get(h, ()):
                 if p not in seen_set:
                     seen_set.add(p)
+                    extra.add(p)
                     work.append(p)
         edges.unpersist()
-        out = spark.createDataFrame([(int(r),) for r in sorted(seen_set)], "rid BIGINT")
-        return out, seeds
+        if not extra:
+            return seeds, seeds
+        extra_df = spark.createDataFrame(
+            pd.DataFrame({"rid": np.array(sorted(extra), dtype=np.int64)})
+        )
+        return seeds.unionByName(extra_df).distinct(), seeds
 
     seen = seeds
     frontier = seen
@@ -336,24 +368,39 @@ def select_relations_non_complete(
 
     if n_edges <= driver_max_edges:
         # driver-side ordered worklist: a parent is selected when a child
-        # relation was selected at an earlier (doc_id, offset)
+        # relation was selected at an earlier (doc_id, offset).  Collect is
+        # limited to the edge graph's neighborhood; extra selections are
+        # shipped back via Arrow and unioned with the direct hits.
         by_child: dict[int, list] = {}
         for r in redges.collect():
             by_child.setdefault(r.child, []).append((r.p_doc, r.p_off, r.parent))
-        seen_set = {(r.doc_id, r.offset, r.rid) for r in direct.distinct().collect()}
-        work = list(seen_set)
+        child_ids = list(by_child.keys())
+        cdf = spark.createDataFrame(
+            pd.DataFrame({"rid": np.array(child_ids, dtype=np.int64)})
+        )
+        direct = direct.distinct().persist()
+        graph_direct = {
+            (r.doc_id, r.offset, r.rid)
+            for r in direct.join(cdf, "rid", "left_semi").collect()
+        }
+        seen_set = set(graph_direct)
+        extra: set[tuple] = set()
+        work = list(graph_direct)
         while work:
             c_doc, c_off, c_rid = work.pop()
             for p_doc, p_off, parent in by_child.get(c_rid, ()):
                 key = (p_doc, p_off, parent)
                 if key not in seen_set and (c_doc, c_off) < (p_doc, p_off):
                     seen_set.add(key)
+                    extra.add(key)
                     work.append(key)
         redges.unpersist()
-        return spark.createDataFrame(
-            [(d, int(o), int(r)) for d, o, r in sorted(seen_set)],
-            "doc_id STRING, offset INT, rid BIGINT",
+        if not extra:
+            return direct
+        extra_df = spark.createDataFrame(
+            sorted(extra), "doc_id STRING, offset INT, rid BIGINT"
         )
+        return direct.unionByName(extra_df).distinct()
 
     seen = direct.distinct().persist()
     frontier = seen
@@ -384,34 +431,24 @@ def select_relations_non_complete(
 PHASE_NODE, PHASE_COMPLETION, PHASE_WAY, PHASE_RELATION = 0, 1, 2, 3
 
 
-def _as_out(df: DataFrame, kind: str, phase: int, child_spans_col: str) -> DataFrame:
-    return df.select(
-        F.lit(phase).alias("phase"),
-        F.lit(kind).alias("kind"),
-        F.col("id"),
-        F.col("doc_id"),
-        F.col("offset"),
-        F.col("attrs_json"),
-        F.col(child_spans_col).alias("out_child_spans"),
-    )
+def _null_arr(t: str):
+    return F.lit(None).cast(t)
 
 
 @dataclass
 class ExtractResult:
-    """Selected elements, phased.  All DataFrames share the output schema
-    (phase, kind, id, doc_id, offset, attrs_json, out_child_spans)."""
+    """Selected elements (phased) + document-level passthrough spans.
 
-    nodes: DataFrame
-    completion: DataFrame | None
-    ways: DataFrame
-    relations: DataFrame
+    ``all_elements`` schema: (phase, kind, id, doc_id, offset, attrs_json,
+    out_child_spans) — attrs and child spans are the ORIGINAL input span
+    text, with nd/member child spans filtered to the kept refs.
+    """
+
+    all_elements: DataFrame
     passthrough: DataFrame  # (doc_id, kind, text, media_ref, offset)
 
     def elements(self) -> DataFrame:
-        parts = [self.nodes, self.ways, self.relations]
-        if self.completion is not None:
-            parts.insert(1, self.completion)
-        return reduce(DataFrame.unionByName, parts)
+        return self.all_elements
 
     def documents(self) -> DataFrame:
         """Regroup output into the interleaved-docs table shape.
@@ -422,7 +459,7 @@ class ExtractResult:
         i.e. each output document is the input document filtered to kept
         spans (the span-sequence invariant).
         """
-        el = self.elements()
+        el = self.all_elements
         parent_spans = el.select(
             "doc_id",
             F.struct(
@@ -477,24 +514,55 @@ def extract(
     cover: CellCover | None = None,
     assume_sorted: bool = True,
 ) -> ExtractResult:
-    """Full polygon-cut extraction over an interleaved-docs DataFrame."""
-    # parse once, cache: the exploded-elements DF feeds nodes/ways/relations
-    # and is consumed by several downstream branches
-    elements = ingest.explode_elements(docs, assume_sorted).persist()
-    nodes = ingest.parse_nodes(elements)
-    ways = ingest.parse_ways(elements)
-    relations = ingest.parse_relations(elements)
-    passthrough = ingest.parse_passthrough_spans(docs, assume_sorted)
+    """Full polygon-cut extraction over an interleaved-docs DataFrame.
+
+    Late-materialization architecture: ALL selection logic (PIP, semi-
+    joins, closure) runs over one cached NARROW frame (ids/geometry/refs
+    only, ~8x smaller than the raw spans); the output phase joins the
+    selected (doc_id, offset) keys back to a single fresh span scan so
+    wide text data is touched exactly twice (scan + output join) no matter
+    how many selection passes run.
+    """
+    narrow = ingest.parse_elements_narrow(docs, assume_sorted).persist()
+    # eager fill: several AQE shuffle-stage jobs consume this cache
+    # CONCURRENTLY at action time; if the cache is still cold they all
+    # recompute the parse (measured: 3-4x duplicated work). One count()
+    # materializes the cached batches first.
+    narrow.count()
+    nodes = narrow.filter(F.col("kind") == "node").select("id", "lon", "lat", "doc_id", "offset")
+    ways = narrow.filter(F.col("kind") == "way").select("id", "nds", "doc_id", "offset")
+    relations = narrow.filter(F.col("kind") == "relation").select(
+        "id", "members", "doc_id", "offset"
+    )
     if cover is None:
-        cover = polygon_cell_cover(poly)
+        cover = auto_cover(poly)
 
-    # the selected-key sets are consumed by several joins each — persist
-    # them so the lazy union action doesn't recompute the whole upstream
-    # pipeline per consumer
-    nodes_sel = select_nodes(spark, nodes, poly, cover).persist()
+    nodes_sel = select_nodes(spark, nodes, poly, cover)
+    sel_node_ids = nodes_sel.select(F.col("id").alias("node_id")).distinct()
+    ways_sel = select_ways(ways, sel_node_ids, complete)
+    return finish_extract(
+        spark, docs, nodes, relations, nodes_sel, ways_sel, complete, assume_sorted
+    )
+
+
+def finish_extract(
+    spark: SparkSession,
+    docs: DataFrame,
+    nodes: DataFrame,
+    relations: DataFrame,
+    nodes_sel: DataFrame,
+    ways_sel: DataFrame,
+    complete: bool,
+    assume_sorted: bool = True,
+) -> ExtractResult:
+    """Completion + relation selection + output assembly over precomputed
+    (narrow) node/way selections (also the resume path of
+    plans/checkpoint.py).  ``docs`` is only consulted once at the end for
+    the wide output join."""
+    # persist the SMALL selected-key sets — each gates several joins
+    nodes_sel = nodes_sel.persist()
     sel_node_ids = nodes_sel.select(F.col("id").alias("node_id")).distinct().persist()
-
-    ways_sel = select_ways(ways, sel_node_ids, complete).persist()
+    ways_sel = ways_sel.persist()
     way_ids = ways_sel.select(F.col("id").alias("way_id")).distinct().persist()
 
     comp: DataFrame | None = None
@@ -534,7 +602,7 @@ def extract(
                 "kept_m"
             )
         )
-        rel_out = rel_rows.join(kept_members, _WAY_KEY, "left").withColumn(
+        rel_out = rel_rows.select("doc_id", "offset").join(kept_members, _WAY_KEY, "left").withColumn(
             "kept_m", F.coalesce(F.col("kept_m"), F.expr("array()"))
         )
     else:
@@ -548,7 +616,12 @@ def extract(
             F.col("doc_id").alias("k_doc"),
             F.col("offset").alias("k_off"),
         )
-        nw_keys = keys.select("kind", "key_id", F.lit(None).cast("string").alias("k_doc"), F.lit(None).cast("int").alias("k_off"))
+        nw_keys = keys.select(
+            "kind",
+            "key_id",
+            F.lit(None).cast("string").alias("k_doc"),
+            F.lit(None).cast("int").alias("k_off"),
+        )
         all_keys = nw_keys.unionByName(sel_rel_keys)
         mem = rel_rows.select("doc_id", "offset", F.explode("members").alias("m")).join(
             all_keys,
@@ -560,36 +633,76 @@ def extract(
             | (F.col("k_doc") < F.col("doc_id"))
             | ((F.col("k_doc") == F.col("doc_id")) & (F.col("k_off") < F.col("offset")))
         )
-        kept_members = mem.groupBy("doc_id", "offset").agg(
+        rel_out = mem.groupBy("doc_id", "offset").agg(
             F.collect_set(F.struct(F.col("m.type").alias("type"), F.col("m.ref").alias("ref"))).alias(
                 "kept_m"
             )
         )
-        rel_out = rel_rows.join(kept_members, _WAY_KEY, "inner")
 
-    # ---- output span filtering (verbatim child spans, filtered) ----
-    ways_out = ways_sel.withColumn(
-        "out_child_spans",
-        F.expr(
-            "filter(child_spans, c -> c.kind != 'nd'"
-            " OR array_contains(kept_nds, from_json(c.text, 'ref BIGINT').ref))"
-        ),
+    # ---- late materialization: one wide pass joined to selected keys ----
+    sel_keys = (
+        nodes_sel.select(
+            "doc_id",
+            "offset",
+            F.lit(PHASE_NODE).alias("phase"),
+            _null_arr("array<bigint>").alias("kept_nds"),
+            _null_arr("array<struct<type:string,ref:bigint>>").alias("kept_m"),
+        )
     )
-    rel_out = rel_out.withColumn(
-        "out_child_spans",
-        F.expr(
-            "filter(child_spans, c -> c.kind != 'member'"
-            " OR exists(kept_m, k -> k.type = from_json(c.text, 'type STRING, ref BIGINT').type"
-            "                    AND k.ref  = from_json(c.text, 'type STRING, ref BIGINT').ref))"
-        ),
+    if complete:
+        sel_keys = sel_keys.unionByName(
+            comp.select(
+                "doc_id",
+                "offset",
+                F.lit(PHASE_COMPLETION).alias("phase"),
+                _null_arr("array<bigint>").alias("kept_nds"),
+                _null_arr("array<struct<type:string,ref:bigint>>").alias("kept_m"),
+            )
+        )
+    sel_keys = sel_keys.unionByName(
+        ways_sel.select(
+            "doc_id",
+            "offset",
+            F.lit(PHASE_WAY).alias("phase"),
+            F.col("kept_nds"),
+            _null_arr("array<struct<type:string,ref:bigint>>").alias("kept_m"),
+        )
+    ).unionByName(
+        rel_out.select(
+            "doc_id",
+            "offset",
+            F.lit(PHASE_RELATION).alias("phase"),
+            _null_arr("array<bigint>").alias("kept_nds"),
+            F.col("kept_m").cast("array<struct<type:string,ref:bigint>>"),
+        )
     )
 
-    return ExtractResult(
-        nodes=_as_out(nodes_sel, "node", PHASE_NODE, "child_spans"),
-        completion=(
-            _as_out(comp, "node", PHASE_COMPLETION, "child_spans") if complete else None
-        ),
-        ways=_as_out(ways_out, "way", PHASE_WAY, "out_child_spans"),
-        relations=_as_out(rel_out, "relation", PHASE_RELATION, "out_child_spans"),
-        passthrough=passthrough,
+    el_raw = ingest.explode_elements(docs, assume_sorted)
+    out = el_raw.join(sel_keys, _WAY_KEY, "inner").select(
+        "phase",
+        "kind",
+        F.from_json("attrs_json", "id BIGINT").getField("id").alias("id"),
+        "doc_id",
+        "offset",
+        "attrs_json",
+        F.when(
+            F.col("phase") == PHASE_WAY,
+            F.expr(
+                "filter(child_spans, c -> c.kind != 'nd'"
+                " OR array_contains(kept_nds, from_json(c.text, 'ref BIGINT').ref))"
+            ),
+        )
+        .when(
+            F.col("phase") == PHASE_RELATION,
+            F.expr(
+                "filter(child_spans, c -> c.kind != 'member'"
+                " OR exists(kept_m, k -> k.type = from_json(c.text, 'type STRING, ref BIGINT').type"
+                "                    AND k.ref  = from_json(c.text, 'type STRING, ref BIGINT').ref))"
+            ),
+        )
+        .otherwise(F.col("child_spans"))
+        .alias("out_child_spans"),
     )
+
+    passthrough = ingest.parse_passthrough_spans(docs, assume_sorted)
+    return ExtractResult(all_elements=out, passthrough=passthrough)

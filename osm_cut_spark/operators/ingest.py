@@ -127,6 +127,93 @@ def parse_documents(
     return parse_nodes(elements), parse_ways(elements), parse_relations(elements)
 
 
+def parse_elements_narrow(docs: DataFrame, assume_sorted: bool = True) -> DataFrame:
+    """ONE narrow frame for the whole selection phase (late
+    materialization): (kind, id, lon, lat, nds, members, doc_id, offset).
+
+    No raw span text is retained — this frame is ~8x smaller than the full
+    exploded elements, so caching it and scanning it from several
+    consumers stays memory-bandwidth friendly.  The output phase joins the
+    selected (doc_id, offset) keys back to a single fresh span scan.
+    """
+    el = explode_elements(docs, assume_sorted)
+    node_a = F.when(
+        F.col("kind") == "node",
+        F.from_json("attrs_json", "id BIGINT, lon DOUBLE, lat DOUBLE"),
+    )
+    other_id = F.from_json("attrs_json", "id BIGINT").getField("id")
+    return el.select(
+        "kind",
+        F.coalesce(node_a.getField("id"), other_id).alias("id"),
+        node_a.getField("lon").alias("lon"),
+        node_a.getField("lat").alias("lat"),
+        F.when(
+            F.col("kind") == "way",
+            F.expr(
+                "transform(filter(child_spans, c -> c.kind = 'nd'),"
+                " c -> from_json(c.text, 'ref BIGINT').ref)"
+            ),
+        ).alias("nds"),
+        F.when(
+            F.col("kind") == "relation",
+            F.expr(
+                "transform(filter(child_spans, c -> c.kind = 'member'),"
+                " c -> from_json(c.text, 'type STRING, ref BIGINT, role STRING'))"
+            ),
+        ).alias("members"),
+        "doc_id",
+        "offset",
+    )
+
+
+# ---------------------------------------------------------------------------
+# slim parses: only what the cut path needs (id/geometry/refs), raw spans
+# carried through verbatim — no tag or metadata parsing in the hot path
+# ---------------------------------------------------------------------------
+
+_CARRY = ["doc_id", "offset", "attrs_json", "child_spans"]
+
+
+def parse_nodes_slim(elements: DataFrame) -> DataFrame:
+    """nodes(id, lon, lat, doc_id, offset, attrs_json, child_spans)."""
+    df = elements.filter(F.col("kind") == "node").withColumn(
+        "a", F.from_json("attrs_json", "id BIGINT, lon DOUBLE, lat DOUBLE")
+    )
+    return df.select(
+        F.col("a.id").alias("id"), F.col("a.lon").alias("lon"), F.col("a.lat").alias("lat"), *_CARRY
+    )
+
+
+def parse_ways_slim(elements: DataFrame) -> DataFrame:
+    """ways(id, nds, doc_id, offset, attrs_json, child_spans)."""
+    df = elements.filter(F.col("kind") == "way").withColumn(
+        "a", F.from_json("attrs_json", "id BIGINT")
+    )
+    return df.select(
+        F.col("a.id").alias("id"),
+        F.expr(
+            "transform(filter(child_spans, c -> c.kind = 'nd'),"
+            " c -> from_json(c.text, 'ref BIGINT').ref)"
+        ).alias("nds"),
+        *_CARRY,
+    )
+
+
+def parse_relations_slim(elements: DataFrame) -> DataFrame:
+    """relations(id, members, doc_id, offset, attrs_json, child_spans)."""
+    df = elements.filter(F.col("kind") == "relation").withColumn(
+        "a", F.from_json("attrs_json", "id BIGINT")
+    )
+    return df.select(
+        F.col("a.id").alias("id"),
+        F.expr(
+            "transform(filter(child_spans, c -> c.kind = 'member'),"
+            " c -> from_json(c.text, 'type STRING, ref BIGINT, role STRING'))"
+        ).alias("members"),
+        *_CARRY,
+    )
+
+
 def parse_passthrough_spans(docs: DataFrame, assume_sorted: bool = True) -> DataFrame:
     """Document-level text/media spans (not owned by any element).
 

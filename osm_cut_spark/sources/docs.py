@@ -283,3 +283,150 @@ def synthetic_docs_spark(spark, n_docs: int, partitions: int | None = None, **kw
     if partitions:
         df = df.repartition(partitions)
     return df
+
+
+def synthetic_docs_distributed(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    nodes_per_doc: int = 8,
+    ways_per_doc: int = 2,
+    relations_per_doc: int = 1,
+    bbox: tuple[float, float, float, float] = (-2.0, -2.0, 14.0, 9.0),
+    partitions: int | None = None,
+):
+    """Scale-path generator: builds the docs table ENTIRELY with JVM
+    expressions over ``spark.range`` — no driver loop, no Python workers —
+    so benchmark inputs of millions of documents materialize in seconds
+    and generation parallelizes with the cluster.
+
+    Determinism comes from xxhash64 of (seed, doc, index) — identical
+    output for identical parameters at any parallelism.  Attribute JSON is
+    canonical (alphabetical keys, compact) like the codec's Python path.
+    """
+    from pyspark.sql import functions as F
+
+    xmin, ymin, xmax, ymax = bbox
+    npd, wpd, rpd = nodes_per_doc, ways_per_doc, relations_per_doc
+
+    def u01(*cols):
+        """Deterministic uniform [0,1) from hashed ints."""
+        h = F.xxhash64(F.lit(seed), *cols)
+        return (F.pmod(h, F.lit(1_000_000_007)).cast("double")) / 1_000_000_007.0
+
+    d = F.col("d")
+    base = spark.range(n_docs).select(F.col("id").alias("d"))
+    if partitions:
+        base = base.repartition(partitions)
+
+    def node_struct(j):
+        nid = d * npd + j + 1
+        lon = F.round(F.lit(xmin) + u01(nid, F.lit(1)) * (xmax - xmin), 7)
+        lat = F.round(F.lit(ymin) + u01(nid, F.lit(2)) * (ymax - ymin), 7)
+        uid = F.pmod(F.xxhash64(F.lit(seed), nid, F.lit(3)), F.lit(5000)) + 1
+        attrs = F.concat(
+            F.lit('{"changeset":'), (F.pmod(nid * 7919, F.lit(10_000_000)) + 1).cast("string"),
+            F.lit(',"id":'), nid.cast("string"),
+            F.lit(',"lat":'), lat.cast("string"),
+            F.lit(',"lon":'), lon.cast("string"),
+            F.lit(',"timestamp":"2026-01-01T00:00:00Z","uid":'), uid.cast("string"),
+            F.lit(',"user":"user'), F.pmod(uid, F.lit(97)).cast("string"),
+            F.lit('","version":'), (F.pmod(nid, F.lit(8)) + 1).cast("string"),
+            F.lit("}"),
+        )
+        return ("node", attrs, F.lit(None).cast("string"))
+
+    # build the per-doc span list as a flat python list of (kind, text_col,
+    # media_ref_col) tuples; offsets assigned at the end by index
+    parts: list[tuple[str, object, object]] = []
+    for j in range(npd):
+        nid = d * npd + j + 1
+        # interleave text / media spans like the Python generator
+        parts.append(
+            (
+                "textif",
+                F.when(F.pmod(nid, F.lit(3)) == 0, F.concat(F.lit("prose about node "), nid.cast("string"))).otherwise(F.lit(None)),
+                F.lit(None).cast("string"),
+            )
+        )
+        parts.append(
+            (
+                "mediaif",
+                F.lit(None).cast("string"),
+                F.when(F.pmod(nid, F.lit(5)) == 0, F.concat(F.lit("media://img/"), nid.cast("string"), F.lit(".jpg"))).otherwise(F.lit(None)),
+            )
+        )
+        parts.append(node_struct(j))
+        parts.append(
+            (
+                "tagif",
+                F.when(F.pmod(nid, F.lit(4)) == 0, F.concat(F.lit('{"k":"amenity","v":"poi'), F.pmod(nid, F.lit(11)).cast("string"), F.lit('"}'))).otherwise(F.lit(None)),
+                F.lit(None).cast("string"),
+            )
+        )
+    for w in range(wpd):
+        wid = d * wpd + w + 1
+        parts.append(("way", F.concat(F.lit('{"id":'), wid.cast("string"), F.lit(',"version":1}')), F.lit(None).cast("string")))
+        k = max(2, npd // 2)
+        for t in range(k):
+            ref = d * npd + ((w * 3 + t) % npd) + 1
+            parts.append(("nd", F.concat(F.lit('{"ref":'), ref.cast("string"), F.lit("}")), F.lit(None).cast("string")))
+        # cross-doc ref (previous doc's first node)
+        parts.append(
+            (
+                "ndif",
+                F.when(d > 0, F.concat(F.lit('{"ref":'), ((d - 1) * npd + 1).cast("string"), F.lit("}"))).otherwise(F.lit(None)),
+                F.lit(None).cast("string"),
+            )
+        )
+        parts.append(("tag", F.lit('{"k":"highway","v":"service"}'), F.lit(None).cast("string")))
+    for r in range(rpd):
+        rid = d * rpd + r + 1
+        parts.append(("relation", F.concat(F.lit('{"id":'), rid.cast("string"), F.lit(',"version":1}')), F.lit(None).cast("string")))
+        parts.append(("member", F.concat(F.lit('{"ref":'), (d * wpd + wpd - r).cast("string"), F.lit(',"role":"outer","type":"way"}')), F.lit(None).cast("string")))
+        parts.append(("member", F.concat(F.lit('{"ref":'), (d * npd + 1).cast("string"), F.lit(',"role":"","type":"node"}')), F.lit(None).cast("string")))
+        parts.append(
+            (
+                "memberif",
+                F.when((rid > 1) & (F.pmod(rid, F.lit(3)) == 0), F.concat(F.lit('{"ref":'), (rid - 1).cast("string"), F.lit(',"role":"sub","type":"relation"}'))).otherwise(F.lit(None)),
+                F.lit(None).cast("string"),
+            )
+        )
+
+    span_structs = []
+    for kind, text, media in parts:
+        if kind.endswith("if"):
+            real_kind = {"textif": "text", "mediaif": "media", "tagif": "tag", "ndif": "nd", "memberif": "member"}[kind]
+            present = text.isNotNull() if real_kind != "media" else media.isNotNull()
+            span_structs.append(
+                F.when(
+                    present,
+                    F.struct(
+                        F.lit(real_kind).alias("kind"),
+                        text.alias("text"),
+                        media.alias("media_ref"),
+                        F.lit(0).alias("offset"),
+                    ),
+                ).otherwise(F.lit(None))
+            )
+        else:
+            span_structs.append(
+                F.struct(
+                    F.lit(kind).alias("kind"),
+                    text.alias("text"),
+                    media.alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            )
+
+    spans = F.expr(
+        "transform(spans0, (s, i) -> struct(s.kind AS kind, s.text AS text,"
+        " s.media_ref AS media_ref, int(i) AS offset))"
+    )
+    return (
+        base.withColumn("spans0", F.filter(F.array(*span_structs), lambda s: s.isNotNull()))
+        .select(
+            F.concat(F.lit("syn-"), F.lpad(d.cast("string"), 8, "0")).alias("doc_id"),
+            spans.alias("spans"),
+        )
+    )

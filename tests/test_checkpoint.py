@@ -1,0 +1,113 @@
+"""IceLite snapshot table + resumable checkpointed cut tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_cut_spark.functions.cells import polygon_cell_cover
+from osm_cut_spark.operators.extract import extract
+from osm_cut_spark.plans.checkpoint import ResumableCut
+from osm_cut_spark.sources.docs import doc_rows_to_spark, elements_to_doc_rows, synthetic_docs_spark
+from osm_cut_spark.sources.icelite import IceLiteTable
+from osm_cut_spark.sources.osm_xml import load_osm_xml
+from osm_cut_spark.sources.poly import compile_poly
+
+FIXTURE_OSM = "/root/reference/test/processor_SUITE_data/osm/1.osm"
+FIXTURE_POLY = "/root/reference/test/processor_SUITE_data/poly/simple.poly"
+
+
+def test_icelite_append_overwrite_timetravel(spark, tmp_path):
+    t = IceLiteTable(tmp_path / "t1")
+    assert not t.exists()
+    df1 = spark.range(5).select(F.col("id"))
+    s1 = t.append(df1, properties={"k": "v"})
+    assert t.read(spark).count() == 5
+    s2 = t.append(spark.range(3).select(F.col("id")))
+    assert t.read(spark).count() == 8
+    # time travel to first snapshot
+    assert t.read(spark, s1["snapshot_id"]).count() == 5
+    t.overwrite(spark.range(2).select(F.col("id")))
+    assert t.read(spark).count() == 2
+    snaps = t.snapshots()
+    assert [s["operation"] for s in snaps] == ["append", "append", "overwrite"]
+    assert snaps[0]["properties"] == {"k": "v"}
+    assert snaps[1]["parent"] == s1["snapshot_id"]
+    assert s2["sequence"] == 1
+
+
+def test_icelite_unpublished_writes_invisible(spark, tmp_path):
+    t = IceLiteTable(tmp_path / "t2")
+    t.append(spark.range(4).select(F.col("id")))
+    # a stray (crashed-writer) data dir must not be visible
+    stray = t.data_dir / "d-stray"
+    spark.range(100).write.parquet(str(stray))
+    assert t.read(spark).count() == 4
+
+
+@pytest.fixture(scope="module")
+def fixture_docs(spark):
+    els = load_osm_xml(FIXTURE_OSM)
+    return doc_rows_to_spark(spark, elements_to_doc_rows(els, elements_per_doc=3))
+
+
+def test_resumable_matches_extract(spark, tmp_path, fixture_docs):
+    poly = compile_poly(FIXTURE_POLY)
+    cover = polygon_cell_cover(poly)
+    cut = ResumableCut(
+        spark, fixture_docs, poly, tmp_path / "cut1", complete=True, n_buckets=2, cover=cover
+    )
+    summary = cut.run()
+    assert summary["resumed_buckets"] == 0
+    got = {
+        (r.kind, r.id) for r in cut.out_tbl.read(spark).collect()
+    }
+    want = {
+        (r.kind, r.id)
+        for r in extract(spark, fixture_docs, poly, complete=True, cover=cover).elements().collect()
+    }
+    assert got == want
+    # checkpoint table carries lineage + processed-cell metrics
+    m = cut.ckpt_tbl.read(spark)
+    kinds = {r.metric for r in m.collect()}
+    assert kinds == {"partition_lineage", "processed_cell"}
+    assert m.filter("metric = 'processed_cell'").count() > 0
+
+
+def test_crash_and_resume(spark, tmp_path, fixture_docs):
+    poly = compile_poly(FIXTURE_POLY)
+    cover = polygon_cell_cover(poly)
+    root = tmp_path / "cut2"
+    crashing = ResumableCut(
+        spark, fixture_docs, poly, root, complete=True, n_buckets=3, cover=cover,
+        fail_after_commits=2,
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        crashing.run()
+    # partial progress committed
+    assert len(crashing.nodes_tbl.snapshots()) == 2
+    assert not crashing.out_tbl.exists()
+
+    resumed = ResumableCut(
+        spark, fixture_docs, poly, root, complete=True, n_buckets=3, cover=cover
+    )
+    summary = resumed.run()
+    assert summary["resumed_buckets"] == 2  # the two committed node buckets skipped
+    got = {(r.kind, r.id) for r in resumed.out_tbl.read(spark).collect()}
+    want = {
+        (r.kind, r.id)
+        for r in extract(spark, fixture_docs, poly, complete=True, cover=cover).elements().collect()
+    }
+    assert got == want
+
+
+def test_rerun_is_noop(spark, tmp_path):
+    poly = compile_poly(FIXTURE_POLY)
+    cover = polygon_cell_cover(poly)
+    docs = synthetic_docs_spark(spark, 12, seed=7)
+    root = tmp_path / "cut3"
+    first = ResumableCut(spark, docs, poly, root, n_buckets=2, cover=cover).run()
+    second = ResumableCut(spark, docs, poly, root, n_buckets=2, cover=cover).run()
+    assert second["resumed_buckets"] == 4  # all buckets skipped
+    assert second["snapshots"] == first["snapshots"]  # no new final commit
+    assert second["n_out"] == first["n_out"]
