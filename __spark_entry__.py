@@ -247,6 +247,51 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Dedup: exact word-3-gram Jaccard pair sizes (intersection/union as
+    ints so the oracle replays exactly)."""
+    from osm_cut_spark.operators.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_id"), shingles(3, "text").alias("sh")
+    )
+    a = d.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("i_size"),
+        F.size(F.array_union("sh_a", "sh_b")).alias("u_size"),
+    ).filter(F.col("i_size") > 0)
+
+
+def q_lsh_ann(spark, sf_dir):
+    """Similarity search: LSH-bucketed ANN (rows-only check; recall vs the
+    exact knn_cosine oracle is asserted in pytest)."""
+    from osm_cut_spark.operators.simsearch import lsh_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head().embedding]
+    return lsh_ann(spark, emb.filter(F.col("vec_id") != 0), qvec, k=10, n_bands=16).select(
+        "rank", "vec_id"
+    )
+
+
+def q_ivf_ann_fullprobe(spark, sf_dir):
+    """Similarity search: IVF with full probe == exact top-k, so the exact
+    cosine SQL is a valid oracle (proves the inverted-file path loses
+    nothing when probing all lists)."""
+    from osm_cut_spark.operators.simsearch import ivf_build, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head().embedding]
+    centroids, assigned = ivf_build(spark, emb.filter(F.col("vec_id") != 0), n_centroids=8)
+    return ivf_search(spark, assigned, centroids, qvec, k=10, n_probe=8).select(
+        "rank", "vec_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_node_filter": q_pip_node_filter,
@@ -263,12 +308,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vector_join": q_raster_vector_join,
         "sessionize": q_sessionize,
         "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann_fullprobe": q_ivf_ann_fullprobe,
         "simhash_pairs": q_simhash_pairs,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ngram_jaccard": """
+            WITH t AS (
+                SELECT doc_id AS _id,
+                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+                FROM documents
+            ), s AS (
+                SELECT _id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                                for i in range(1, len(toks)-2+1)])
+                            ELSE [array_to_string(toks, ' ')] END AS sh
+                FROM t
+            )
+            SELECT a._id AS id_a, b._id AS id_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS i_size,
+                   CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS INT) AS u_size
+            FROM s a JOIN s b ON a._id < b._id
+            WHERE len(list_intersect(a.sh, b.sh)) > 0
+        """,
+        "ivf_ann_fullprobe": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            sims AS (
+                SELECT e.vec_id,
+                       list_dot_product(e.embedding::DOUBLE[], q.qv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+                FROM embeddings e, q WHERE e.vec_id != 0
+            )
+            SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank, vec_id
+            FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
         # inclusive half-planes with the kernel's exact float shape
         # R = (x*a + y*b) + c per edge of the fixture triangle
         "pip_node_filter": f"""

@@ -1,0 +1,154 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Baseline = exact brute force (operators/knn.py, JVM fold).  Scale paths:
+
+* **LSH (random hyperplanes)** — sign-bit signatures computed in ONE
+  Arrow-vectorized pandas UDF (numpy matmul per batch), banded into
+  buckets; queries probe their buckets, candidates re-ranked exactly.
+  Sub-linear candidate sets; recall tunable via (n_planes, n_bands).
+* **IVF (inverted file)** — deterministic centroid sample, nearest-
+  centroid assignment (same matmul UDF shape), queries probe the top-p
+  centroids and re-rank exactly within those lists.  The classic
+  partition-pruning ANN: at cluster scale the assignment column doubles
+  as the partition key so a probe touches p/k of the data.
+
+Everything is deterministic (seeded hyperplanes, hash-based centroid
+sample) so results are reproducible across runs and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+from osm_cut_spark.operators.knn import cosine_sim
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def make_lsh_udf(spark: SparkSession, dim: int, n_planes: int = 64, n_bands: int = 8, seed: int = 42):
+    """pandas UDF: embedding -> array of band bucket keys (int64)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows_per_band = n_planes // n_bands
+    bc = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def lsh(emb: pd.Series) -> pd.Series:
+        p = bc.value
+        mat = np.vstack(emb.to_numpy())  # (n, dim)
+        bits = (mat.astype(np.float64) @ p) > 0  # (n, planes)
+        out = []
+        weights = (1 << np.arange(rows_per_band)).astype(np.int64)
+        for i in range(bits.shape[0]):
+            keys = []
+            for b in range(n_bands):
+                seg = bits[i, b * rows_per_band : (b + 1) * rows_per_band]
+                keys.append(int((seg * weights).sum()) | (b << 48))
+            out.append(keys)
+        return pd.Series(out)
+
+    return lsh
+
+
+def lsh_ann(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: LSH bucket probe + exact cosine re-rank."""
+    dim = len(query_vec)
+    lsh = make_lsh_udf(spark, dim, n_planes, n_bands, seed)
+    indexed = embeddings.withColumn("_buckets", lsh(F.col(vec_col)))
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbits = (np.asarray(query_vec, dtype=np.float64) @ planes) > 0
+    rows_per_band = n_planes // n_bands
+    weights = (1 << np.arange(rows_per_band)).astype(np.int64)
+    qkeys = [
+        int((qbits[b * rows_per_band : (b + 1) * rows_per_band] * weights).sum()) | (b << 48)
+        for b in range(n_bands)
+    ]
+    cand = indexed.filter(F.arrays_overlap(F.col("_buckets"), F.array(*[F.lit(q) for q in qkeys])))
+    w = Window.orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        cand.select(F.col(id_col), cosine_sim(vec_col, query_vec))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", id_col, "sim")
+    )
+
+
+def ivf_build(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Build an IVF index: (centroids ndarray, assigned DataFrame).
+
+    Centroids = deterministic hash-sample of rows (kmeans-lite: one
+    assignment pass is enough for partition pruning; full Lloyd iterations
+    would just sharpen recall).  ``assigned`` carries a ``_list`` column —
+    the inverted-list id, usable as a partition/bucket key at scale.
+    """
+    sample = (
+        embeddings.withColumn("_h", F.pmod(F.xxhash64(F.col(id_col) + seed), F.lit(997)))
+        .orderBy("_h", id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = np.vstack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-12
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(IntegerType())
+    def assign(emb: pd.Series) -> pd.Series:
+        c = bc.value
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+        return pd.Series(np.argmax(mat @ c.T, axis=1).astype(np.int32))
+
+    assigned = embeddings.withColumn("_list", assign(F.col(vec_col)))
+    return centroids, assigned
+
+
+def ivf_search(
+    spark: SparkSession,
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``n_probe`` nearest inverted lists, exact re-rank."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) + 1e-12)
+    order = np.argsort(-(centroids @ q))
+    probe = [int(i) for i in order[:n_probe]]
+    cand = assigned.filter(F.col("_list").isin(probe))
+    w = Window.orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        cand.select(F.col(id_col), cosine_sim(vec_col, query_vec))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", id_col, "sim")
+    )
