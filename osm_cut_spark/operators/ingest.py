@@ -137,16 +137,13 @@ def parse_elements_narrow(docs: DataFrame, assume_sorted: bool = True) -> DataFr
     selected (doc_id, offset) keys back to a single fresh span scan.
     """
     el = explode_elements(docs, assume_sorted)
-    node_a = F.when(
-        F.col("kind") == "node",
-        F.from_json("attrs_json", "id BIGINT, lon DOUBLE, lat DOUBLE"),
-    )
-    other_id = F.from_json("attrs_json", "id BIGINT").getField("id")
+    # one from_json for every kind: ways/relations simply get null lon/lat
+    a = F.from_json("attrs_json", "id BIGINT, lon DOUBLE, lat DOUBLE")
     return el.select(
         "kind",
-        F.coalesce(node_a.getField("id"), other_id).alias("id"),
-        node_a.getField("lon").alias("lon"),
-        node_a.getField("lat").alias("lat"),
+        a.getField("id").alias("id"),
+        a.getField("lon").alias("lon"),
+        a.getField("lat").alias("lat"),
         F.when(
             F.col("kind") == "way",
             F.expr(
