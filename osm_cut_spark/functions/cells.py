@@ -234,6 +234,42 @@ class CellCover:
         )
 
 
+def boundary_edge_index(
+    poly: PreparedPolygon, boundary_cells: np.ndarray
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Per-boundary-cell edge subsets, one CSR (indptr, edge_idx) per ring.
+
+    Analog of the reference geotree's per-leaf interval lists + precounted
+    parity (osm_polygon_compiler.erl:341-345, 689-754): a point inside
+    boundary cell C only needs edges whose bbox overlaps C's y-strip and
+    whose left end is not right of C — every other edge can neither be
+    crossed by C-local leftward rays nor contain a C-local point.  The
+    subset test therefore yields EXACTLY the full even-odd result.
+    """
+    lon0, lat0, lon1, lat1 = cell_to_bbox(boundary_cells)
+    out: list[tuple[np.ndarray, np.ndarray]] = []
+    rings = list(poly.include) + list(poly.exclude)
+    n = boundary_cells.shape[0]
+    for ring in rings:
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        chunks: list[np.ndarray] = []
+        step = max(1, 2_000_000 // max(1, ring.n_edges))
+        for lo in range(0, n, step):
+            hi = min(n, lo + step)
+            mask = (
+                (ring.ymin <= lat1[lo:hi, None])
+                & (ring.ymax >= lat0[lo:hi, None])
+                & (ring.xmin <= lon1[lo:hi, None])
+            )
+            counts = mask.sum(axis=1)
+            indptr[lo + 1 : hi + 1] = counts
+            idx = np.nonzero(mask)
+            chunks.append(idx[1].astype(np.int32))
+        np.cumsum(indptr, out=indptr)
+        out.append((indptr, np.concatenate(chunks) if chunks else np.array([], dtype=np.int32)))
+    return out
+
+
 def polygon_cell_cover(
     poly: PreparedPolygon,
     res_min: int = DEFAULT_COARSE_RES,

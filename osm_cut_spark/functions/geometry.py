@@ -111,6 +111,33 @@ def prepare_ring(points: list[Point]) -> PreparedRing:
     )
 
 
+def ring_contains_edges(
+    ring: PreparedRing, edge_idx: np.ndarray, x: np.ndarray, y: np.ndarray
+) -> np.ndarray:
+    """ring_contains restricted to an edge subset (per-cell edge index).
+
+    EXACT when ``edge_idx`` is a superset of the edges that can interact
+    with the points: an edge can contribute a leftward-ray crossing or an
+    on-segment hit for a point in cell C only if its bbox overlaps C's
+    y-strip and starts left of C's right border (see
+    cells.boundary_edge_index) — all other edges are provably inert.
+    """
+    a = ring.a[edge_idx]
+    b = ring.b[edge_idx]
+    c = ring.c[edge_idx]
+    xmin = ring.xmin[edge_idx]
+    xmax = ring.xmax[edge_idx]
+    ymin = ring.ymin[edge_idx]
+    ymax = ring.ymax[edge_idx]
+    cx = x[:, None]
+    cy = y[:, None]
+    r = cx * a + cy * b + c
+    yspan = (ymin <= cy) & (cy <= ymax)
+    on = yspan & (xmin <= cx) & (cx <= xmax) & (r == 0)
+    cross = yspan & (cy < ymax) & (xmin <= cx) & (r > 0)
+    return on.any(axis=1) | ((cross.sum(axis=1) & 1) == 1)
+
+
 def ring_contains(ring: PreparedRing, x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Boundary-inclusive even-odd test for one ring, vectorized over points.
 
@@ -200,12 +227,22 @@ def star_polygon(
     rmax: float = 5.5,
     seed: int = 42,
 ) -> list[Point]:
-    """Deterministic jagged star ring — a stand-in for real .poly files
-    (country polygons have thousands of vertices), used by benchmarks to
-    make the PIP kernel genuinely compute-bound."""
+    """Deterministic wavy ring — a stand-in for real .poly files (country
+    polygons have thousands of vertices tracing a SMOOTH boundary, so
+    consecutive edges are short).  Radius varies by a few low-frequency
+    sinusoids plus mild noise; adjacent vertices stay close, matching the
+    short-edge structure real cut polygons have."""
     rng = np.random.default_rng(seed)
     theta = np.linspace(0.0, 2.0 * np.pi, n_vertices, endpoint=False)
-    r = rng.uniform(rmin, rmax, n_vertices)
+    rm = (rmin + rmax) / 2.0
+    amp = (rmax - rmin) / 2.0
+    phases = rng.uniform(0, 2 * np.pi, 3)
+    r = (
+        rm
+        + 0.5 * amp * np.sin(3 * theta + phases[0])
+        + 0.3 * amp * np.sin(7 * theta + phases[1])
+        + 0.2 * amp * np.sin(13 * theta + phases[2])
+    )
     xs = center[0] + r * np.cos(theta)
     ys = center[1] + r * np.sin(theta)
     return [(float(x), float(y)) for x, y in zip(xs, ys)]

@@ -66,12 +66,70 @@ def _isin_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     return sorted_arr[idx] == values
 
 
+def _ring_verdict_pairs(
+    ring, ptr: np.ndarray, eidx: np.ndarray, cell_pos: np.ndarray, x: np.ndarray, y: np.ndarray
+) -> np.ndarray:
+    """Fully-vectorized per-cell edge-subset even-odd test for one ring.
+
+    Expands (point, local edge) pairs flat (total pairs = sum over points
+    of their cell's edge count — hundreds of times fewer than points *
+    all_edges for complex polygons), evaluates the crossing/on masks per
+    pair, and segment-reduces back per point with bincount.
+    """
+    n = x.shape[0]
+    counts = ptr[cell_pos + 1] - ptr[cell_pos]
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(n, dtype=bool)
+    rep = np.repeat(np.arange(n), counts)
+    # flat gather of each point's cell edge slice
+    offs = (
+        np.arange(total)
+        - np.repeat(np.cumsum(counts) - counts, counts)
+        + np.repeat(ptr[cell_pos], counts)
+    )
+    e = eidx[offs]
+    px, py = x[rep], y[rep]
+    a, b, c = ring.a[e], ring.b[e], ring.c[e]
+    r = px * a + py * b + c
+    yspan = (ring.ymin[e] <= py) & (py <= ring.ymax[e])
+    xok = ring.xmin[e] <= px
+    on = yspan & xok & (px <= ring.xmax[e]) & (r == 0)
+    cross = yspan & xok & (py < ring.ymax[e]) & (r > 0)
+    n_cross = np.bincount(rep[cross], minlength=n)
+    has_on = np.zeros(n, dtype=bool)
+    has_on[rep[on]] = True
+    return has_on | ((n_cross & 1) == 1)
+
+
+def _boundary_verdict(
+    poly: PreparedPolygon,
+    edge_index: list[tuple[np.ndarray, np.ndarray]],
+    cell_pos: np.ndarray,
+    x: np.ndarray,
+    y: np.ndarray,
+) -> np.ndarray:
+    """Per-cell edge-subset PIP for boundary-cell points (exact)."""
+    rings = list(poly.include) + list(poly.exclude)
+    n_inc = len(poly.include)
+    inside = np.zeros(x.shape[0], dtype=bool)
+    for ri in range(n_inc):
+        ptr, eidx = edge_index[ri]
+        inside |= _ring_verdict_pairs(rings[ri], ptr, eidx, cell_pos, x, y)
+    if inside.any():
+        for ri in range(n_inc, len(rings)):
+            ptr, eidx = edge_index[ri]
+            inside &= ~_ring_verdict_pairs(rings[ri], ptr, eidx, cell_pos, x, y)
+    return inside
+
+
 def _route_points(
     poly: PreparedPolygon,
     cover: CellCover,
     inside_by_res: dict[int, np.ndarray],
     x: np.ndarray,
     y: np.ndarray,
+    edge_index: list[tuple[np.ndarray, np.ndarray]] | None = None,
 ) -> np.ndarray:
     fine = lonlat_to_cell(x, y, cover.res)
     out = np.zeros(x.shape[0], dtype=bool)
@@ -83,29 +141,44 @@ def _route_points(
         undecided &= ~hit
     bnd = undecided & _isin_sorted(fine, cover.boundary_cells)
     if bnd.any():
-        out[bnd] = poly.contains(x[bnd], y[bnd])
+        if edge_index is not None:
+            pos = np.searchsorted(cover.boundary_cells, fine[bnd])
+            out[bnd] = _boundary_verdict(poly, edge_index, pos, x[bnd], y[bnd])
+        else:
+            out[bnd] = poly.contains(x[bnd], y[bnd])
     return out
 
 
 def make_pip_udf(spark: SparkSession, poly: PreparedPolygon, cover: CellCover):
-    """Vectorized boolean pandas UDF: (lon, lat) -> inside polygon."""
-    from osm_cut_spark.functions.cells import cell_res
+    """Vectorized boolean pandas UDF: (lon, lat) -> inside polygon.
+
+    Ships a per-boundary-cell edge index with the broadcast so boundary
+    points only test edges local to their cell (the geotree per-leaf
+    interval trick, osm_polygon_compiler.erl:341-345) — exact, and turns
+    the per-point cost from O(all edges) into O(local edges).
+    """
+    from osm_cut_spark.functions.cells import boundary_edge_index, cell_res
 
     res_of = cell_res(cover.inside_cells)
     inside_by_res = {
         int(r): np.sort(cover.inside_cells[res_of == r]) for r in np.unique(res_of)
     }
-    bc = spark.sparkContext.broadcast((poly, cover, inside_by_res))
+    edge_index = (
+        boundary_edge_index(poly, cover.boundary_cells)
+        if cover.boundary_cells.size
+        else None
+    )
+    bc = spark.sparkContext.broadcast((poly, cover, inside_by_res, edge_index))
 
     @F.pandas_udf(BooleanType())
     def pip(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        p, c, ibr = bc.value
+        p, c, ibr, ei = bc.value
         x = lon.to_numpy(dtype=np.float64, na_value=np.nan)
         y = lat.to_numpy(dtype=np.float64, na_value=np.nan)
         ok = ~(np.isnan(x) | np.isnan(y))
         res = np.zeros(x.shape[0], dtype=bool)
         if ok.any():
-            res[ok] = _route_points(p, c, ibr, x[ok], y[ok])
+            res[ok] = _route_points(p, c, ibr, x[ok], y[ok], ei)
         return pd.Series(res)
 
     return pip
