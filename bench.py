@@ -43,9 +43,9 @@ def docs_parquet(spark, sf: float) -> tuple[str, int]:
     n_docs = max(200, int(DOCS_PER_SF * sf))
     path = CACHE_ROOT / f"docs_sf{sf}_n{n_docs}.parquet"
     if not path.exists():
-        from osm_cut_spark.sources.docs import synthetic_docs_spark
+        from osm_cut_spark.sources.docs import synthetic_docs_distributed
 
-        df = synthetic_docs_spark(spark, n_docs, partitions=max(CPUS, 8))
+        df = synthetic_docs_distributed(spark, n_docs, partitions=max(CPUS, 8))
         df.write.mode("overwrite").parquet(str(path))
     return str(path), n_docs
 
