@@ -68,6 +68,114 @@ FROM lineitem
 """
 
 
+def _h64(x: str) -> str:
+    """DuckDB twin of dedup.h64_md5 (60-bit int of the md5 hex prefix)."""
+    return f"CAST('0x' || substr(md5({x}),1,15) AS BIGINT)"
+
+
+# word-3-gram shingles per document (same fallback shape as dedup.shingles)
+_SHINGLES3_SQL = r"""
+    SELECT doc_id AS _id,
+           CASE WHEN len(toks) >= 3
+                THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in range(1, len(toks)-2+1)])
+                ELSE [array_to_string(toks, ' ')] END AS sh
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+          FROM documents)
+"""
+
+
+def _minhash_pairs_sql(n_perm=16, bands=8, threshold=0.3, max_bucket=1000) -> str:
+    """Full LSH replay: 31-bit base hash (md5-derived) -> arithmetic
+    multiply-add permutations (same constants as dedup._perm_consts,
+    masked so checked int64 math cannot overflow) -> band buckets ->
+    candidate pairs -> exact-Jaccard verify."""
+    from osm_cut_spark.operators.dedup import MASK31, MASK61, _perm_consts
+
+    rpb = n_perm // bands
+    perm_mins = ", ".join(
+        f"list_min(list_transform(hs, h -> (CAST({a} AS BIGINT) * h + {b}) & {MASK61}))"
+        for a, b in (_perm_consts(p) for p in range(n_perm))
+    )
+    bucket = _h64(f"b || ':' || array_to_string(sig[b*{rpb}+1:b*{rpb}+{rpb}], ',')")
+    return f"""
+        WITH s AS ({_SHINGLES3_SQL}),
+        hs AS (SELECT _id, list_transform(sh, s -> ({_h64('s')} & {MASK31})) AS hs FROM s),
+        sig AS (SELECT _id, [{perm_mins}] AS sig FROM hs),
+        banded AS (SELECT _id, unnest([{bucket} for b in range({bands})]) AS bucket FROM sig),
+        big AS (SELECT bucket FROM banded GROUP BY bucket HAVING count(*) > {max_bucket}),
+        capped AS (SELECT _id, bucket FROM banded
+                   WHERE bucket NOT IN (SELECT bucket FROM big)),
+        cand AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
+                 FROM capped a JOIN capped b USING (bucket) WHERE a._id < b._id)
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN s sa ON sa._id = c.id_a JOIN s sb ON sb._id = c.id_b
+        WHERE len(list_intersect(sa.sh, sb.sh))
+              >= {threshold} * len(list_distinct(list_concat(sa.sh, sb.sh)))
+    """
+
+
+def _simhash_pairs_sql(max_hamming=6, n_bits=60) -> str:
+    """SimHash replay: the engine's pigeonhole blocking is lossless, so the
+    oracle is the equivalent all-pairs hamming filter on the same hashes."""
+    bit = (
+        "CASE WHEN 2*len(list_filter(hashes, v -> (v >> b) & 1 = 1)) > len(hashes)"
+        " THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END"
+    )
+    return rf"""
+        WITH t AS (SELECT doc_id AS _id,
+                          list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+                   FROM documents),
+        g AS (SELECT _id, list_distinct([array_to_string(toks[i:i+1], ' ')
+                                         for i in range(1, greatest(len(toks)-2, 0)+2)]) AS grams
+              FROM t),
+        h AS (SELECT _id, list_transform(grams, x -> {_h64('x')}) AS hashes FROM g),
+        s AS (SELECT _id, CAST(list_sum([{bit} for b in range({n_bits})]) AS BIGINT) AS sh FROM h)
+        SELECT a._id AS id_a, b._id AS id_b, CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM s a JOIN s b ON a._id < b._id
+        WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+def _lsh_ann_sql(dim=64, n_planes=64, n_bands=16, seed=42, k=10) -> str:
+    """LSH-ANN replay with the hyperplane matrix inlined as literals; dot
+    products fold sequentially in both engines (exact_jvm path) so bucket
+    keys and the candidate set match bit-for-bit."""
+    from osm_cut_spark.operators.simsearch import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    rpb = n_planes // n_bands
+
+    def dot(p: int, vec: str) -> str:
+        lits = ",".join(repr(float(v)) for v in planes[:, p])
+        return f"list_dot_product({vec}, [{lits}])"
+
+    def key(b: int, vec: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {dot(b * rpb + j, vec)} > 0 THEN CAST({1 << j} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for j in range(rpb)
+        )
+        return f"(({terms}) | CAST({b << 48} AS BIGINT))"
+
+    keys = lambda vec: "[" + ", ".join(key(b, vec) for b in range(n_bands)) + "]"
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        qk AS (SELECT qv, {keys('qv')} AS keys FROM q),
+        base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id != 0),
+        bk AS (SELECT vec_id, v, {keys('v')} AS keys FROM base),
+        cand AS (SELECT bk.vec_id, bk.v, qk.qv FROM bk, qk
+                 WHERE len(list_intersect(bk.keys, qk.keys)) > 0),
+        sims AS (SELECT vec_id,
+                        list_dot_product(v, qv)
+                        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+                 FROM cand)
+        SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank, vec_id
+        FROM sims ORDER BY sim DESC, vec_id LIMIT {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -123,14 +231,23 @@ def q_completion_refs(spark, sf_dir):
 
 
 def q_relation_closure(spark, sf_dir):
-    """J4: iterative ancestor closure to fixpoint over child->parent edges."""
+    """J4: iterative ancestor closure to fixpoint over child->parent edges.
+
+    Iteration hygiene: ``seen`` is a FLAT union of the persisted per-level
+    frontiers (never re-persisted, so no superseded caches accumulate and
+    lineage stays one union wide); a ``localCheckpoint`` every 8 levels
+    truncates the union for deep graphs.
+    """
     ev = _t(spark, sf_dir, "events")
     edges = ev.select(
         (F.col("event_id") % 97).alias("child"), F.col("user_id").alias("parent")
     ).distinct().persist()
-    seen = edges.filter(F.col("child") < 5).select(F.col("child").alias("rid")).distinct().persist()
-    frontier = seen
-    for _ in range(64):
+    frontier = (
+        edges.filter(F.col("child") < 5).select(F.col("child").alias("rid")).distinct().persist()
+    )
+    seen = frontier
+    levels = [frontier]
+    for it in range(64):
         nxt = (
             edges.join(frontier, edges.child == frontier.rid)
             .select(F.col("parent").alias("rid"))
@@ -139,8 +256,15 @@ def q_relation_closure(spark, sf_dir):
             .persist()
         )
         if nxt.count() == 0:
+            nxt.unpersist()
             break
-        seen = seen.unionByName(nxt).persist()
+        levels.append(nxt)
+        seen = seen.unionByName(nxt)
+        if (it + 1) % 8 == 0:
+            seen = seen.localCheckpoint(eager=True)
+            for lv in levels:
+                lv.unpersist()
+            levels = []
         frontier = nxt
     edges.unpersist()
     return seen
@@ -229,53 +353,55 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """Dedup: MinHash-LSH candidate pairs verified by exact Jaccard
-    (xxhash64 not available in DuckDB -> rows-only check)."""
+    """Dedup: MinHash-LSH candidate pairs verified by exact Jaccard.
+    ``replayable=True`` swaps xxhash64 for the md5-derived 60-bit hash that
+    DuckDB reproduces, so the full shingle->signature->band->bucket->verify
+    pipeline is oracle-checked end to end."""
     from osm_cut_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), jaccard_threshold=0.3, n_perm=16, bands=8
+        _t(spark, sf_dir, "documents"),
+        jaccard_threshold=0.3,
+        n_perm=16,
+        bands=8,
+        replayable=True,
     ).select("id_a", "id_b")
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """Dedup: SimHash near-dup pairs (rows-only check)."""
+    """Dedup: SimHash near-dup pairs on the replayable 60-bit hash.  The
+    pigeonhole blocking (max_hamming+1 chunks) is lossless, so the oracle
+    replays the RESULT as an all-pairs hamming filter."""
     from osm_cut_spark.operators.dedup import simhash_dup_pairs
 
-    return simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6).select(
-        "id_a", "id_b", "hamming"
-    )
+    return simhash_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=6, replayable=True
+    ).select("id_a", "id_b", "hamming")
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Dedup: exact word-3-gram Jaccard pair sizes (intersection/union as
-    ints so the oracle replays exactly)."""
-    from osm_cut_spark.operators.dedup import shingles
+    """Dedup: exact word-3-gram Jaccard pairs at threshold 0.3 via the
+    size-band-blocked operator (no cartesian product); the oracle replays
+    the result with an unblocked quadratic SQL — blocking is lossless."""
+    from osm_cut_spark.operators.dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("_id"), shingles(3, "text").alias("sh")
-    )
-    a = d.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = d.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.size(F.array_intersect("sh_a", "sh_b")).alias("i_size"),
-        F.size(F.array_union("sh_a", "sh_b")).alias("u_size"),
-    ).filter(F.col("i_size") > 0)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=3, jaccard_threshold=0.3
+    ).select("id_a", "id_b", "i_size", "u_size")
 
 
 def q_lsh_ann(spark, sf_dir):
-    """Similarity search: LSH-bucketed ANN (rows-only check; recall vs the
-    exact knn_cosine oracle is asserted in pytest)."""
+    """Similarity search: LSH-bucketed ANN probe + exact cosine re-rank.
+    ``exact_jvm=True`` computes bucket keys with sequential JVM folds so
+    the DuckDB oracle (inlined hyperplane literals) replays the exact
+    candidate set; recall vs exact kNN is asserted in pytest."""
     from osm_cut_spark.operators.simsearch import lsh_ann
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head().embedding]
-    return lsh_ann(spark, emb.filter(F.col("vec_id") != 0), qvec, k=10, n_bands=16).select(
-        "rank", "vec_id"
-    )
+    return lsh_ann(
+        spark, emb.filter(F.col("vec_id") != 0), qvec, k=10, n_bands=16, exact_jvm=True
+    ).select("rank", "vec_id")
 
 
 def q_ivf_ann_fullprobe(spark, sf_dir):
@@ -317,25 +443,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "ngram_jaccard": """
-            WITH t AS (
-                SELECT doc_id AS _id,
-                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
-                FROM documents
-            ), s AS (
-                SELECT _id,
-                       CASE WHEN len(toks) >= 3
-                            THEN list_distinct([array_to_string(toks[i:i+2], ' ')
-                                                for i in range(1, len(toks)-2+1)])
-                            ELSE [array_to_string(toks, ' ')] END AS sh
-                FROM t
-            )
+        "ngram_jaccard": f"""
+            WITH s AS ({_SHINGLES3_SQL})
             SELECT a._id AS id_a, b._id AS id_b,
                    CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS i_size,
                    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS INT) AS u_size
             FROM s a JOIN s b ON a._id < b._id
-            WHERE len(list_intersect(a.sh, b.sh)) > 0
+            WHERE len(list_intersect(a.sh, b.sh))
+                  >= 0.3 * len(list_distinct(list_concat(a.sh, b.sh)))
         """,
+        "minhash_pairs": _minhash_pairs_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
+        "lsh_ann": _lsh_ann_sql(),
         "ivf_ann_fullprobe": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             sims AS (
@@ -494,6 +613,4 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM l GROUP BY user_id
         """,
-        # minhash_pairs / simhash_pairs: xxhash64 has no DuckDB equivalent
-        # -> intentionally omitted (driver records rows-only checks)
     }

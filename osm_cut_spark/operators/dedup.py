@@ -6,25 +6,49 @@ functions) — no Python in the data path, full whole-stage codegen:
 * ``exact_dedup`` — hash-groupBy exact duplicate clustering.
 * ``shingles`` / ``minhash_signature`` — word n-gram shingling and a
   P-permutation MinHash signature computed as ``array_min`` over salted
-  xxhash64 values (each salt is an independent hash function).
+  hash values (each salt is an independent hash function).
 * ``minhash_lsh_pairs`` — banded LSH: signatures split into bands,
   band-hash groupBy produces candidate pairs co-located by bucket (the
   classic shingle->minhash->band->bucket-join pipeline), then candidates
   are verified with EXACT n-gram Jaccard via array_intersect/array_union.
-* ``simhash64`` — 64-bit SimHash over token xxhash64 bitplanes.
+* ``simhash64`` — SimHash over token-hash bitplanes.
 
-Scale notes: the only shuffles are the band-bucket groupBy (keys are
-band-hash values — uniformly distributed by construction) and the final
-pair dedup; giant buckets (degenerate all-equal corpora) are capped by
-``max_bucket`` to bound the quadratic pair expansion, with dropped-bucket
-counts surfaced rather than silently truncated.
+Hashing is parameterized: the default is ``xxhash64`` (fastest JVM path);
+``replayable=True`` switches every hash to ``h64_md5`` — the integer value
+of the first 15 hex chars of md5 — which DuckDB reproduces exactly as
+``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``, so LSH outputs are
+oracle-checkable end to end.
+
+Scale notes (physical plan, round-2 shape):
+
+* the band explode and bucket self-join carry ONLY ``(_id, bucket)`` —
+  shingle arrays never enter a shuffle; candidates are re-joined to the
+  slim ``(id, sh)`` projection once for the exact-Jaccard verify;
+* degenerate buckets (all-equal corpora) are dropped via a tiny
+  ``groupBy.count`` + broadcast anti-join (no window shuffle), bounding
+  the quadratic pair expansion at ``max_bucket``;
+* ``ngram_jaccard_pairs`` blocks on geometric size bands (a pair can only
+  reach Jaccard >= t when the shingle-set sizes are within a factor 1/t),
+  so the exact operator never plans a cartesian product.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import math
+
+from pyspark.sql import DataFrame, functions as F
 
 BIG = (1 << 63) - 1
+
+
+def h64_md5(col):
+    """DuckDB-replayable 60-bit hash: integer value of the first 15 hex
+    chars of md5.  DuckDB twin: CAST('0x' || substr(md5(x),1,15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash64(col, replayable: bool):
+    return h64_md5(col) if replayable else F.xxhash64(col)
 
 
 def normalize_tokens(text_col="text"):
@@ -58,15 +82,84 @@ def shingles(n: int = 3, text_col: str = "text"):
     )
 
 
-def _salted_min(shingle_col, salt: str):
-    # NB: close over the salt; a default-arg lambda (lambda s, p=p: ...)
-    # would receive the array INDEX column as p from pyspark's lambda shim.
-    return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(F.concat(s, F.lit(salt)))))
+MASK31 = (1 << 31) - 1
+MASK61 = (1 << 61) - 1
 
 
-def minhash_signature(shingle_col, n_perm: int = 32):
-    """Array of n_perm MinHash values: min over salted xxhash64 per perm."""
-    return F.array(*[_salted_min(shingle_col, f"#p{p}") for p in range(n_perm)])
+def _perm_consts(p: int) -> tuple[int, int]:
+    """Deterministic 31-bit multiply-add constants for permutation ``p``
+    (odd multiplier).  Shared with the DuckDB oracle, which inlines the
+    same values — 31-bit base hash * 31-bit multiplier stays under 2^62,
+    so neither engine's checked int64 arithmetic can overflow."""
+    a = ((p * 0x9E3779B9 + 0x85EBCA6B) & MASK31) | 1
+    b = (p * 0xC2B2AE35 + 0x27D4EB2F) & MASK31
+    return a, b
+
+
+def base_hashes(shingle_col, replayable: bool = False):
+    """31-bit base hash per shingle — hashed ONCE; permutations are
+    arithmetic (multiply-add-mask), not re-hashes, so the n_perm signature
+    costs one string hash + n_perm integer ops per shingle instead of
+    n_perm string concat+hashes (the round-1 hot spot)."""
+    return F.transform(
+        shingle_col, lambda s: _hash64(s, replayable).bitwiseAND(F.lit(MASK31))
+    )
+
+
+def minhash_sig_from_hashes(hashes_col, n_perm: int = 32):
+    """Signature from a MATERIALIZED base-hash array column.  Callers must
+    project ``hashes_col`` in a prior select so the n_perm mins reference
+    an attribute, not n_perm re-expansions of the hash transform."""
+    def perm_min(a: int, b: int):
+        # closure, NOT default-arg lambda (pyspark would bind the array
+        # index column to extra lambda params)
+        la, lb = F.lit(a), F.lit(b)
+        return F.array_min(
+            F.transform(hashes_col, lambda h: (la * h + lb).bitwiseAND(F.lit(MASK61)))
+        )
+
+    return F.array(*[perm_min(*_perm_consts(p)) for p in range(n_perm)])
+
+
+def minhash_signature(shingle_col, n_perm: int = 32, replayable: bool = False):
+    """Single-expression signature (compat shim; prefer staging
+    ``base_hashes`` in its own projection via ``minhash_sig_from_hashes``)."""
+    return minhash_sig_from_hashes(base_hashes(shingle_col, replayable), n_perm)
+
+
+def band_buckets(sig_col, bands: int, rows_per_band: int, replayable: bool = False):
+    """Array of per-band bucket keys; the band index is folded into the
+    hashed string so a single ``bucket`` column is a complete join key."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: _hash64(
+            F.concat(
+                b.cast("string"),
+                F.lit(":"),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                ),
+            ),
+            replayable,
+        ),
+    )
+
+
+def _jaccard_cols(threshold: float):
+    """(i_size, u_size, jaccard) projections + the threshold predicate.
+
+    The filter compares ``i_size >= threshold * u_size`` (int vs double
+    product) — the exact same float shape the DuckDB oracle uses, so the
+    boundary rows agree bit-for-bit.
+    """
+    i_size = F.size(F.array_intersect("sh_a", "sh_b")).alias("i_size")
+    u_size = F.size(F.array_union("sh_a", "sh_b")).alias("u_size")
+    pred = F.col("i_size") >= F.lit(float(threshold)) * F.col("u_size")
+    return i_size, u_size, pred
 
 
 def minhash_lsh_pairs(
@@ -78,60 +171,57 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 1000,
+    replayable: bool = False,
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b, jaccard) via banded MinHash LSH.
+    """Near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
     Candidates = pairs sharing >=1 band bucket; verified with exact
-    shingle Jaccard >= threshold.  Returns (id_a, id_b, jaccard).
+    shingle Jaccard >= threshold.  Returns
+    (id_a, id_b, i_size, u_size, jaccard).
+
+    Physical plan: the docs scan computes shingles -> base hashes -> sig ->
+    buckets ONCE (staged projections, each non-cheap array materialized a
+    single time); candidate pairs come from one groupBy(bucket) +
+    collect_list with in-bucket combination expansion (no self-join, so no
+    second scan and no anti-join pass — the ``max_bucket`` cap is a size
+    filter on the grouped ids, bounding the per-bucket combination array at
+    C(max_bucket, 2)); shingle arrays re-enter only via two slim joins on
+    the final (small) candidate set.
     """
     rows_per_band = n_perm // bands
-    sig = docs.select(
-        F.col(id_col).alias("_id"),
-        shingles(shingle_n, text_col).alias("sh"),
-        minhash_signature(shingles(shingle_n, text_col), n_perm).alias("sig"),
-    )
+    sh_df = docs.select(F.col(id_col).alias("_id"), shingles(shingle_n, text_col).alias("sh"))
+    hs = sh_df.select("_id", base_hashes(F.col("sh"), replayable).alias("hs"))
+    sig = hs.select("_id", minhash_sig_from_hashes(F.col("hs"), n_perm).alias("sig"))
     banded = sig.select(
-        "_id",
-        "sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    # cap degenerate buckets to bound pair blowup (surfaced, not silent)
-    sized = banded.withColumn(
-        "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    )
-    capped = sized.filter(F.col("bsize") <= max_bucket).drop("bsize")
-
-    a = capped.select(
-        F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    b = capped.select(
-        F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")
+        "_id", F.explode(band_buckets(F.col("sig"), bands, rows_per_band, replayable)).alias("bucket")
     )
     pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        banded.groupBy("bucket")
+        .agg(F.collect_list("_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), b ->"
+                    "   struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b"))
-    ).alias("jaccard")
-    return pairs.select("id_a", "id_b", jac).filter(F.col("jaccard") >= jaccard_threshold)
+
+    sh_a = sh_df.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_df.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    i_size, u_size, pred = _jaccard_cols(jaccard_threshold)
+    return (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", i_size, u_size)
+        .filter(pred)
+        .withColumn("jaccard", F.col("i_size") / F.col("u_size"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -141,46 +231,104 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard (quadratic — small inputs / oracle use).
+    """EXACT n-gram Jaccard pairs at ``jaccard_threshold``, blocked on
+    geometric size bands — never a cartesian product.
 
-    Blocked on a cheap length band to avoid the full cross product.
+    Blocking is lossless: J(A,B) >= t implies max(|A|,|B|)/min(|A|,|B|)
+    <= 1/t, i.e. log_{1/t}|A| and log_{1/t}|B| differ by <= 1, so the two
+    rows share one of the three keys {k-1, k, k+1} each row emits (the
+    extra +-1 absorbs float rounding at exact band boundaries).  Within a
+    band the join is quadratic — inherent to exact same-length
+    near-duplicate search; the sub-quadratic scale path is
+    ``minhash_lsh_pairs``.
     """
+    if not (0.0 < jaccard_threshold <= 1.0):
+        raise ValueError("jaccard_threshold must be in (0, 1]")
     s = docs.select(F.col(id_col).alias("_id"), shingles(shingle_n, text_col).alias("sh"))
-    a = s.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = s.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    ).alias("jaccard")
-    return pairs.select("id_a", "id_b", jac).filter(F.col("jaccard") >= jaccard_threshold)
+    if jaccard_threshold >= 1.0:
+        band = F.size("sh").cast("long")
+        keys = F.array(band)
+    else:
+        log_ratio = math.log(1.0 / jaccard_threshold)
+        band = F.floor(F.log(F.size("sh").cast("double")) / F.lit(log_ratio))
+        keys = F.array(band - 1, band, band + 1)
+    banded = s.select("_id", "sh", F.explode(keys).alias("k"))
+    a = banded.select(F.col("k"), F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = banded.select(F.col("k"), F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    i_size, u_size, pred = _jaccard_cols(jaccard_threshold)
+    return (
+        a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", i_size, u_size)
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(pred)
+        .withColumn("jaccard", F.col("i_size") / F.col("u_size"))
+    )
 
 
-def simhash64(text_col: str = "text", ngram: int = 2):
-    """64-bit SimHash column: sign-sum of token-hash bitplanes.
-
-    Computed as: for each bit position, count tokens with that bit set vs
-    total; bit set in the output when majority set.  Pure JVM expressions.
-    """
-    toks = F.array_distinct(
+def _gram_col(text_col: str, ngram: int):
+    """Distinct word n-grams with the SimHash fallback shape (short docs
+    yield partial grams rather than the shingles() whole-doc fallback)."""
+    toks = normalize_tokens(text_col)
+    return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(normalize_tokens(text_col)) - ngram, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(normalize_tokens(text_col), i + 1, ngram)),
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram)),
         )
     )
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(hashes)
+
+
+def simhash_from_hashes(hashes_col, n_col, n_bits: int):
+    """SimHash column from a MATERIALIZED token-hash array column: for each
+    bit position, set the output bit when the majority of hashes has it set.
+    Callers must project ``hashes_col``/``n_col`` in a prior select so the
+    63 bit terms reference attributes, not re-expanded expressions.
+    """
     def bit_term(b: int):
         mask = F.lit(1 << b)
         return F.when(
-            F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0)) * 2 > n,
+            F.size(F.filter(hashes_col, lambda h: h.bitwiseAND(mask) != 0)) * 2 > n_col,
             F.lit(1 << b).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
 
-    # 63 bits: avoids int64 sign-bit edge cases
-    bits = [bit_term(b) for b in range(63)]
-    out = bits[0]
-    for expr in bits[1:]:
-        out = out.bitwiseOR(expr)
+    out = bit_term(0)
+    for bpos in range(1, n_bits):
+        out = out.bitwiseOR(bit_term(bpos))
+    return out
+
+
+def simhash_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+    replayable: bool = False,
+) -> DataFrame:
+    """(_id, sh) SimHash per document.  63 bits with xxhash64 (sign bit
+    avoided); 60 bits with the replayable md5 hash (its full width).
+
+    Staged projections keep each non-cheap array expression (tokens ->
+    grams -> hashes) materialized exactly once per row instead of
+    re-expanding inside every bit term (round-1 codegen bomb).
+    """
+    n_bits = 60 if replayable else 63
+    grams = docs.select(F.col(id_col).alias("_id"), _gram_col(text_col, ngram).alias("grams"))
+    hashed = grams.select(
+        "_id", F.transform(F.col("grams"), lambda t: _hash64(t, replayable)).alias("hashes")
+    ).select("_id", "hashes", F.size("hashes").alias("n"))
+    return hashed.select(
+        "_id", simhash_from_hashes(F.col("hashes"), F.col("n"), n_bits).alias("sh")
+    )
+
+
+def _hamming_blocks(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(start, width) per block, widths within 1 of each other."""
+    base, extra = divmod(n_bits, n_blocks)
+    out, start = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        out.append((start, width))
+        start += width
     return out
 
 
@@ -189,11 +337,19 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
+    replayable: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on 16-bit chunks (pigeonhole: any pair
-    with hamming <= 3 shares at least one of 4 chunks), verify hamming."""
-    s = docs.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("sh"))
+    """SimHash near-dup pairs: block on ``max_hamming + 1`` bit chunks
+    (pigeonhole: any pair with hamming <= max_hamming shares at least one
+    chunk — so the blocked result EQUALS the all-pairs hamming filter),
+    verify hamming exactly.  Returns (id_a, id_b, hamming)."""
+    n_bits = 60 if replayable else 63
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks < max_hamming + 1:
+        raise ValueError("pigeonhole requires n_blocks >= max_hamming + 1")
+    s = simhash_docs(docs, id_col, text_col, replayable=replayable)
     chunks = s.select(
         "_id",
         "sh",
@@ -202,21 +358,48 @@ def simhash_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("sh"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("sh"), start)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("key"),
                     )
-                    for i in range(n_blocks)
+                    for i, (start, width) in enumerate(_hamming_blocks(n_bits, n_blocks))
                 ]
             )
         ).alias("c"),
     ).select("_id", "sh", F.col("c.blk").alias("blk"), F.col("c.key").alias("key"))
-    a = chunks.select("blk", "key", F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = chunks.select("blk", "key", F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = (
-        a.join(b, ["blk", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+    # single-scan pair generation: groupBy block key + in-bucket combination
+    # expansion with the hamming predicate INSIDE the array expression (a
+    # self-join would recompute the 63-bit-term simhash scan twice, and the
+    # narrow per-block keys collide often — filtering before any shuffle
+    # keeps the candidate stream at near-dup size).  Degenerate buckets
+    # (identical-text corpora) cost O(n^2) bit_counts in one task but only
+    # O(matches) memory; salt such corpora through exact_dedup first.
+    grouped = (
+        chunks.groupBy("blk", "key")
+        .agg(F.collect_list(F.struct("_id", "sh")).alias("xs"))
+        .filter(F.size("xs") >= 2)
+    )
+    return (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xs, (a, i) ->"
+                    " transform("
+                    f"   filter(slice(xs, i + 2, size(xs)), b -> bit_count(a.sh ^ b.sh) <= {int(max_hamming)}),"
+                    "   b -> struct(least(a._id, b._id) AS id_a, greatest(a._id, b._id) AS id_b,"
+                    "               bit_count(a.sh ^ b.sh) AS hamming))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
-    return pairs.select("id_a", "id_b", hamming).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash64(text_col: str = "text", ngram: int = 2):
+    """Single-expression 63-bit SimHash column (compatibility shim; prefer
+    ``simhash_docs`` which stages the projections)."""
+    grams = _gram_col(text_col, ngram)
+    hashes = F.transform(grams, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    return simhash_from_hashes(hashes, n, 63)

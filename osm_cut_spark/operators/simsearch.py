@@ -43,17 +43,48 @@ def make_lsh_udf(spark: SparkSession, dim: int, n_planes: int = 64, n_bands: int
         p = bc.value
         mat = np.vstack(emb.to_numpy())  # (n, dim)
         bits = (mat.astype(np.float64) @ p) > 0  # (n, planes)
-        out = []
+        # band packing as one matmul: (n, bands, rpb) . weights -> (n, bands)
         weights = (1 << np.arange(rows_per_band)).astype(np.int64)
-        for i in range(bits.shape[0]):
-            keys = []
-            for b in range(n_bands):
-                seg = bits[i, b * rows_per_band : (b + 1) * rows_per_band]
-                keys.append(int((seg * weights).sum()) | (b << 48))
-            out.append(keys)
-        return pd.Series(out)
+        keys = bits.reshape(-1, n_bands, rows_per_band).astype(np.int64) @ weights
+        keys |= np.arange(n_bands, dtype=np.int64) << 48
+        return pd.Series(list(keys))
 
     return lsh
+
+
+def _dot_lit(vec_col, plane: np.ndarray):
+    """Sequential-fold dot product against a literal vector — the same
+    float shape as DuckDB's list_dot_product, so sign bits agree exactly."""
+    p = F.array(*[F.lit(float(v)) for v in plane])
+    a = F.transform(vec_col, lambda x: x.cast("double"))
+    return F.aggregate(F.zip_with(a, p, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def lsh_bucket_cols(planes: np.ndarray, n_bands: int, vec_col):
+    """JVM-expression band bucket keys (oracle-exact path; no Python).
+
+    Bit-equivalent to the pandas-UDF path up to float summation order; use
+    this variant when results must replay in an engine that folds dot
+    products sequentially (DuckDB oracle).
+    """
+    dim, n_planes = planes.shape
+    rows_per_band = n_planes // n_bands
+    keys = []
+    for b in range(n_bands):
+        term = F.lit(b << 48).cast("long")
+        for j in range(rows_per_band):
+            bit = (_dot_lit(vec_col, planes[:, b * rows_per_band + j]) > 0).cast("long")
+            term = term.bitwiseOR(bit * F.lit(1 << j).cast("long"))
+        keys.append(term)
+    return F.array(*keys)
+
+
+def _seq_dot(q: list[float], p) -> float:
+    """Strict left-to-right Python fold (matches the JVM/DuckDB fold)."""
+    acc = 0.0
+    for i in range(len(q)):
+        acc = acc + float(q[i]) * float(p[i])
+    return acc
 
 
 def lsh_ann(
@@ -66,15 +97,31 @@ def lsh_ann(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_jvm: bool = False,
 ) -> DataFrame:
-    """Approximate top-k: LSH bucket probe + exact cosine re-rank."""
-    dim = len(query_vec)
-    lsh = make_lsh_udf(spark, dim, n_planes, n_bands, seed)
-    indexed = embeddings.withColumn("_buckets", lsh(F.col(vec_col)))
+    """Approximate top-k: LSH bucket probe + exact cosine re-rank.
 
+    ``exact_jvm=True`` computes data-side bucket keys with JVM sequential
+    folds instead of the Arrow matmul UDF — bit-replayable in the DuckDB
+    oracle (summation order matters only for sign-boundary dots).
+    """
+    dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes, seed)
-    qbits = (np.asarray(query_vec, dtype=np.float64) @ planes) > 0
+    if exact_jvm:
+        indexed = embeddings.withColumn(
+            "_buckets", lsh_bucket_cols(planes, n_bands, F.col(vec_col))
+        )
+    else:
+        lsh = make_lsh_udf(spark, dim, n_planes, n_bands, seed)
+        indexed = embeddings.withColumn("_buckets", lsh(F.col(vec_col)))
+
     rows_per_band = n_planes // n_bands
+    if exact_jvm:
+        qbits = np.array(
+            [_seq_dot(query_vec, planes[:, p]) > 0 for p in range(n_planes)], dtype=bool
+        )
+    else:
+        qbits = (np.asarray(query_vec, dtype=np.float64) @ planes) > 0
     weights = (1 << np.arange(rows_per_band)).astype(np.int64)
     qkeys = [
         int((qbits[b * rows_per_band : (b + 1) * rows_per_band] * weights).sum()) | (b << 48)
