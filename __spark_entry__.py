@@ -280,6 +280,29 @@ def q_knn_cosine(spark, sf_dir):
     return out.select("rank", "vec_id")
 
 
+def q_knn_join(spark, sf_dir):
+    """Batch kNN join (many queries): 20 query points x lineitem-derived
+    points via the cell-disk equi-join + per-query window top-k.  res=2 /
+    radius=4 disks span the whole grid, so the oracle is exact brute-force
+    (same degrade-to-exact proof shape as ivf_ann_fullprobe)."""
+    from osm_cut_spark.operators.knn import knn_join
+
+    pts = _points(spark, sf_dir)
+    q = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 20)
+        .select(
+            F.col("c_custkey").alias("qid"),
+            ((F.col("c_custkey") % 150) / 10.0).alias("x"),
+            ((F.col("c_nationkey") % 110) / 10.0).alias("y"),
+        )
+    )
+    return knn_join(
+        spark, pts, q, k=5, res=2, radius=4,
+        id_col="pt_id", q_id_col="qid", lon_col="x", lat_col="y",
+    )
+
+
 def q_window_topk(spark, sf_dir):
     """Top-K per group via window row_number (A5-ordering analog)."""
     orders = _t(spark, sf_dir, "orders")
@@ -426,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_refs": q_completion_refs,
         "relation_closure": q_relation_closure,
         "knn_cosine": q_knn_cosine,
+        "knn_join": q_knn_join,
         "window_topk": q_window_topk,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
@@ -517,6 +541,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank, vec_id
             FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "knn_join": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            q AS (SELECT c_custkey AS qid,
+                         (c_custkey % 150) / 10.0 AS x,
+                         (c_nationkey % 110) / 10.0 AS y
+                  FROM customer WHERE c_custkey <= 20),
+            d AS (SELECT q.qid, p.pt_id,
+                         (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS d2
+                  FROM q, pts p)
+            SELECT qid, pt_id, CAST(rn AS INT) AS rn FROM (
+                SELECT qid, pt_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY d2, pt_id) AS rn
+                FROM d)
+            WHERE rn <= 5
         """,
         "window_topk": """
             SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (

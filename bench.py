@@ -73,15 +73,14 @@ def run_once(spark, sf_dir: str) -> dict:
     # warm the JVM/Arrow paths once with a tiny slice
     docs.limit(10).count()
 
-    timed("extract_complete", lambda: noop(extract(spark, docs, poly, complete=True).elements()))
-    timed(
-        "extract_noncomplete",
-        lambda: noop(extract(spark, docs, poly, complete=False).elements()),
-    )
-    timed(
-        "extract_documents_out",
-        lambda: noop(extract(spark, docs, poly, complete=False).documents()),
-    )
+    def run_extract(complete: bool, out: str):
+        res = extract(spark, docs, poly, complete=complete)
+        noop(res.elements() if out == "elements" else res.documents())
+        res.release()  # drop selection caches between runs (no accumulation)
+
+    timed("extract_complete", lambda: run_extract(True, "elements"))
+    timed("extract_noncomplete", lambda: run_extract(False, "elements"))
+    timed("extract_documents_out", lambda: run_extract(False, "documents"))
 
     qs = entry.queries()
     for name in [

@@ -39,7 +39,7 @@ AQE handles skew and picks broadcast sides when the selection is small.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import reduce
 
 import numpy as np
@@ -321,6 +321,7 @@ def relation_closure_complete(
     base_keys: DataFrame,
     max_iters: int = 64,
     driver_max_edges: int = 2_000_000,
+    caches: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Complete-mode relation selection.
 
@@ -335,6 +336,8 @@ def relation_closure_complete(
     jobs total); above it, an iterative DataFrame self-join to fixpoint.
     """
     spark = relations.sparkSession
+    if caches is None:
+        caches = []
     seeds = (
         _member_hits(relations, base_keys)
         .join(relations, _WAY_KEY)
@@ -342,6 +345,7 @@ def relation_closure_complete(
         .distinct()
         .persist()
     )
+    caches.append(seeds)
     non_seed = relations.join(seeds, relations.id == seeds.rid, "left_anti")
     edges = (
         non_seed.select(F.col("id").alias("parent"), F.explode("members").alias("m"))
@@ -387,9 +391,13 @@ def relation_closure_complete(
         )
         return seeds.unionByName(extra_df).distinct(), seeds
 
+    # DF fixpoint (giant link graphs): `seen` stays a FLAT union of the
+    # persisted per-level frontiers — no superseded re-persists, lineage one
+    # union wide; localCheckpoint every 8 levels truncates deep unions.
     seen = seeds
-    frontier = seen
-    for _ in range(max_iters):
+    frontier = seeds
+    levels: list[DataFrame] = []
+    for it in range(max_iters):
         parents = (
             edges.join(frontier, edges.child == frontier.rid)
             .select(F.col("parent").alias("rid"))
@@ -398,8 +406,17 @@ def relation_closure_complete(
             .persist()
         )
         if parents.count() == 0:
+            parents.unpersist()
             break
-        seen = seen.unionByName(parents).persist()
+        levels.append(parents)
+        caches.append(parents)
+        seen = seen.unionByName(parents)
+        if (it + 1) % 8 == 0:
+            seen = seen.localCheckpoint(eager=True)
+            for lv in levels:
+                lv.unpersist()
+                caches.remove(lv)
+            levels = []
         frontier = parents
     edges.unpersist()
     return seen, seeds
@@ -410,6 +427,7 @@ def select_relations_non_complete(
     base_keys: DataFrame,
     max_iters: int = 64,
     driver_max_edges: int = 2_000_000,
+    caches: list | None = None,
 ) -> DataFrame:
     """Non-complete relation selection: stream-order-dependent.
 
@@ -419,6 +437,8 @@ def select_relations_non_complete(
     Returns selected relation keys (doc_id, offset, rid, rord implicit).
     """
     spark = relations.sparkSession
+    if caches is None:
+        caches = []
     direct = _member_hits(relations, base_keys).join(relations, _WAY_KEY).select(
         "doc_id", "offset", F.col("id").alias("rid")
     )
@@ -452,6 +472,7 @@ def select_relations_non_complete(
             pd.DataFrame({"rid": np.array(child_ids, dtype=np.int64)})
         )
         direct = direct.distinct().persist()
+        caches.append(direct)
         graph_direct = {
             (r.doc_id, r.offset, r.rid)
             for r in direct.join(cdf, "rid", "left_semi").collect()
@@ -476,8 +497,10 @@ def select_relations_non_complete(
         return direct.unionByName(extra_df).distinct()
 
     seen = direct.distinct().persist()
+    caches.append(seen)
     frontier = seen
-    for _ in range(max_iters):
+    levels: list[DataFrame] = []
+    for it in range(max_iters):
         earlier = (
             redges.join(frontier, redges.child == frontier.rid)
             .filter(
@@ -490,8 +513,17 @@ def select_relations_non_complete(
             .persist()
         )
         if earlier.count() == 0:
+            earlier.unpersist()
             break
-        seen = seen.unionByName(earlier).persist()
+        levels.append(earlier)
+        caches.append(earlier)
+        seen = seen.unionByName(earlier)
+        if (it + 1) % 8 == 0:
+            seen = seen.localCheckpoint(eager=True)
+            for lv in levels:
+                lv.unpersist()
+                caches.remove(lv)
+            levels = []
         frontier = earlier
     redges.unpersist()
     return seen
@@ -515,10 +547,23 @@ class ExtractResult:
     ``all_elements`` schema: (phase, kind, id, doc_id, offset, attrs_json,
     out_child_spans) — attrs and child spans are the ORIGINAL input span
     text, with nd/member child spans filtered to the kept refs.
+
+    ``release()`` unpersists every selection-phase cache once the caller
+    has consumed the output (repeated cuts in one session would otherwise
+    accumulate cached blocks until eviction pressure).
     """
 
     all_elements: DataFrame
     passthrough: DataFrame  # (doc_id, kind, text, media_ref, offset)
+    caches: list = field(default_factory=list)
+
+    def release(self) -> None:
+        for df in self.caches:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self.caches = []
 
     def elements(self) -> DataFrame:
         return self.all_elements
@@ -596,7 +641,9 @@ def extract(
     wide text data is touched exactly twice (scan + output join) no matter
     how many selection passes run.
     """
+    caches: list = []
     narrow = ingest.parse_elements_narrow(docs, assume_sorted).persist()
+    caches.append(narrow)
     # eager fill: several AQE shuffle-stage jobs consume this cache
     # CONCURRENTLY at action time; if the cache is still cold they all
     # recompute the parse (measured: 3-4x duplicated work). One count()
@@ -614,7 +661,8 @@ def extract(
     sel_node_ids = nodes_sel.select(F.col("id").alias("node_id")).distinct()
     ways_sel = select_ways(ways, sel_node_ids, complete)
     return finish_extract(
-        spark, docs, nodes, relations, nodes_sel, ways_sel, complete, assume_sorted
+        spark, docs, nodes, relations, nodes_sel, ways_sel, complete, assume_sorted,
+        caches=caches,
     )
 
 
@@ -627,27 +675,35 @@ def finish_extract(
     ways_sel: DataFrame,
     complete: bool,
     assume_sorted: bool = True,
+    caches: list | None = None,
 ) -> ExtractResult:
     """Completion + relation selection + output assembly over precomputed
     (narrow) node/way selections (also the resume path of
     plans/checkpoint.py).  ``docs`` is only consulted once at the end for
-    the wide output join."""
+    the wide output join.  Every persist lands in ``caches`` (exposed on
+    the result as ``ExtractResult.caches``; call ``release()`` after the
+    output action)."""
+    if caches is None:
+        caches = []
     # persist the SMALL selected-key sets — each gates several joins
     nodes_sel = nodes_sel.persist()
     sel_node_ids = nodes_sel.select(F.col("id").alias("node_id")).distinct().persist()
     ways_sel = ways_sel.persist()
     way_ids = ways_sel.select(F.col("id").alias("way_id")).distinct().persist()
+    caches += [nodes_sel, sel_node_ids, ways_sel, way_ids]
 
     comp: DataFrame | None = None
     comp_ids: DataFrame | None = None
     if complete:
         comp = completion_nodes(ways_sel, nodes, sel_node_ids).persist()
         comp_ids = comp.select(F.col("id").alias("node_id")).distinct().persist()
+        caches += [comp, comp_ids]
 
     keys = base_key_df(sel_node_ids, comp_ids, way_ids).persist()
+    caches.append(keys)
 
     if complete:
-        selected_rel_ids, seed_ids = relation_closure_complete(relations, keys)
+        selected_rel_ids, seed_ids = relation_closure_complete(relations, keys, caches=caches)
         all_keys = keys.unionByName(
             selected_rel_ids.select(F.lit("relation").alias("kind"), F.col("rid").alias("key_id"))
         )
@@ -679,7 +735,7 @@ def finish_extract(
             "kept_m", F.coalesce(F.col("kept_m"), F.expr("array()"))
         )
     else:
-        sel_rel = select_relations_non_complete(relations, keys)
+        sel_rel = select_relations_non_complete(relations, keys, caches=caches)
         rel_rows = relations.join(sel_rel.select("doc_id", "offset"), _WAY_KEY, "left_semi")
         # members at processing time: nodes/ways in set + relations selected
         # EARLIER in stream order (osm_process_non_complete.erl:95-105)
@@ -778,4 +834,4 @@ def finish_extract(
     )
 
     passthrough = ingest.parse_passthrough_spans(docs, assume_sorted)
-    return ExtractResult(all_elements=out, passthrough=passthrough)
+    return ExtractResult(all_elements=out, passthrough=passthrough, caches=caches)

@@ -18,9 +18,13 @@ capability mandated by BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+import numpy as np
+import pandas as pd
 
-from osm_cut_spark.functions.cells import cell_disk, lonlat_to_cell
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from osm_cut_spark.functions.cells import cell_disk, lonlat_to_cell, lonlat_to_grid, xy_to_cell
 
 
 def _dot(a, b):
@@ -77,12 +81,18 @@ def knn_points(
     cell until >= k candidates are found (or ``max_rings``), then refines
     with exact planar distance + top-k.  Correct whenever the k-th
     neighbor lies within the expanded disk; callers can raise
-    ``max_rings`` for sparse regions (planar-distance heuristic documented).
+    ``max_rings`` for sparse regions (planar-distance heuristic
+    documented).  Returns FEWER than k rows when the table holds fewer
+    than k points inside the maximum disk.  For many queries use
+    ``knn_join`` (one equi-join, no per-query driver loop).
     """
     import numpy as np
 
+    if max_rings < 1:
+        raise ValueError("max_rings must be >= 1")
     qcell = int(lonlat_to_cell(np.array([query_lon]), np.array([query_lat]), res)[0])
     cell_col = f"cell_r{res}"
+    cand = points.filter(F.col(cell_col) == qcell)
     for radius in range(1, max_rings + 1):
         disk = [int(c) for c in cell_disk(qcell, radius)]
         cand = points.filter(F.col(cell_col).isin(disk))
@@ -98,4 +108,87 @@ def knn_points(
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
         .select("rank", id_col, "lon", "lat", "dist")
+    )
+
+
+def make_disk_udf(spark: SparkSession, res: int, radius: int):
+    """Vectorized pandas UDF: (lon, lat) -> Chebyshev disk cell ids at
+    ``res`` (one broadcasting batch; edge cells clip, so dedupe the array
+    with array_distinct before exploding)."""
+    offs = np.arange(-radius, radius + 1, dtype=np.int64)
+    dx, dy = np.meshgrid(offs, offs)
+    dx, dy = dx.ravel(), dy.ravel()
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def disk(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        x = lon.to_numpy(dtype=np.float64)
+        y = lat.to_numpy(dtype=np.float64)
+        ix, iy = lonlat_to_grid(x, y, res)
+        n = np.int64(1) << np.int64(res)
+        gx = np.clip(ix[:, None] + dx[None, :], 0, n - 1)
+        gy = np.clip(iy[:, None] + dy[None, :], 0, n - 1)
+        cells = xy_to_cell(gx, gy, res)
+        return pd.Series(list(cells))
+
+    return disk
+
+
+def knn_join(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    res: int = 7,
+    radius: int = 2,
+    id_col: str = "id",
+    q_id_col: str = "qid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Batch kNN join: each query row gets its k nearest points.
+
+    The distributed form of the kNN lookup (replaces ``knn_points``'s
+    per-query driver loop when there are many queries): every query
+    explodes its Chebyshev cell disk at ``res``; candidates come from ONE
+    equi-join on the cell id (both sides shuffle-partitioned by cell — no
+    cross product, AQE handles hot cells); exact squared-distance refine;
+    per-query window top-k.  Correct whenever each query's k-th neighbor
+    lies within its disk — pick (res, radius) so the disk spans the search
+    horizon; radius covering the whole grid degrades gracefully to exact
+    brute force.
+
+    Returns (qid, id, rn) with rn in [1, k] ordered by planar distance,
+    ties broken on point id.  Queries whose disk holds fewer than k points
+    return fewer rows.
+    """
+    disk = make_disk_udf(spark, res, radius)
+    q = queries.select(
+        F.col(q_id_col).alias("_qid"),
+        F.col(lon_col).alias("_qx"),
+        F.col(lat_col).alias("_qy"),
+        F.explode(F.array_distinct(disk(F.col(lon_col), F.col(lat_col)))).alias("_cell"),
+    )
+    from osm_cut_spark.operators.extract import make_cell_udf
+
+    cell = make_cell_udf(spark, res)
+    pts = points.select(
+        F.col(id_col).alias("_pid"),
+        F.col(lon_col).alias("_px"),
+        F.col(lat_col).alias("_py"),
+        cell(F.col(lon_col), F.col(lat_col)).alias("_cell"),
+    )
+    dx = F.col("_px") - F.col("_qx")
+    dy = F.col("_py") - F.col("_qy")
+    d2 = (dx * dx + dy * dy).alias("_d2")
+    w = Window.partitionBy("_qid").orderBy(F.asc("_d2"), F.asc("_pid"))
+    return (
+        q.join(pts, "_cell")
+        .select("_qid", "_pid", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("_qid").alias(q_id_col),
+            F.col("_pid").alias(id_col),
+            F.col("rn"),
+        )
     )

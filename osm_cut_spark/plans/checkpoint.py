@@ -182,6 +182,7 @@ class ResumableCut:
             self.ckpt_tbl.append(
                 _lineage_rows(out, "final", 0), properties={"stage": "final", "bucket": 0}
             )
+            result.release()
 
         narrow.unpersist()
         sel_ids.unpersist()

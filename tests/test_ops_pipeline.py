@@ -47,6 +47,27 @@ def test_knn_points_cell_expansion(spark):
     assert [r.id for r in rows] == [r.id for r in brute]
 
 
+def test_knn_join_matches_bruteforce(spark):
+    from osm_cut_spark.operators.knn import knn_join
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 13), float(i % 7)) for i in range(200)], "id LONG, lon DOUBLE, lat DOUBLE"
+    )
+    qs = spark.createDataFrame(
+        [(100 + j, float(j * 2.5), float(j % 5)) for j in range(6)],
+        "qid LONG, lon DOUBLE, lat DOUBLE",
+    )
+    # radius spans the whole res-3 grid -> exact kNN for every query
+    got = knn_join(spark, pts, qs, k=4, res=3, radius=8).collect()
+    all_pts = pts.collect()
+    for q in qs.collect():
+        brute = sorted(
+            all_pts, key=lambda r: ((r.lon - q.lon) ** 2 + (r.lat - q.lat) ** 2, r.id)
+        )[:4]
+        mine = sorted([r for r in got if r.qid == q.qid], key=lambda r: r.rn)
+        assert [r.id for r in mine] == [r.id for r in brute], q.qid
+
+
 def test_exact_dedup_clusters(spark):
     from osm_cut_spark.operators.dedup import exact_dedup
 
