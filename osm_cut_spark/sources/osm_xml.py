@@ -39,6 +39,12 @@ def load_osm_xml(path: str | Path) -> list[Element]:
     root = ET.parse(str(path)).getroot()
     if root.tag != "osm":
         raise ValueError(f"not an OSM file: root tag {root.tag!r}")
+    return root_to_elements(root)
+
+
+def root_to_elements(root: ET.Element) -> list[Element]:
+    """Canonical element dicts from a parsed <osm> (or fragment) root —
+    shared by the fixture loader and the distributed chunk parser."""
     elements: list[Element] = []
     for el in root:
         if el.tag == "bound":  # ignored, like osm_parser.erl:119-120

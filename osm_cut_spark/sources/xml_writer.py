@@ -39,8 +39,12 @@ def _esc(v: Any) -> str:
 
 
 def _fmt_num(v: Any) -> str:
-    """Coordinates: integral floats render like the source ints (0.0 -> 0)."""
-    if isinstance(v, float) and v.is_integer():
+    """Coordinates: integral floats render like the source ints (0.0 -> 0).
+
+    The integral collapse is guarded to |v| < 1e15 so the distributed
+    column path (bigint cast) and this Python path stay byte-identical.
+    """
+    if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
         return str(int(v))
     return str(v)
 
@@ -101,19 +105,29 @@ def element_xml_column() -> Column:
         " uid BIGINT, user STRING, changeset BIGINT",
     )
 
-    def attr(name, col, fmt_num=False):
-        val = col.cast("string")
-        if fmt_num:
-            val = F.when(
-                col.cast("bigint").cast("double") == col, col.cast("bigint").cast("string")
-            ).otherwise(col.cast("string"))
-        return F.when(col.isNotNull(), F.concat(F.lit(f' {name}="'), _xml_escape_col(val), F.lit('"'))).otherwise(F.lit(""))
+    def attr(name, col):
+        return F.when(col.isNotNull(), F.concat(F.lit(f' {name}="'), _xml_escape_col(col.cast("string")), F.lit('"'))).otherwise(F.lit(""))
+
+    def attr_coord(name):
+        # never re-serialize floats: render the VERBATIM JSON number token.
+        # A double->string cast (and even get_json_object, which re-renders
+        # through Jackson) yields Java scientific notation for tiny values,
+        # diverging from the source text — so slice the token out of the
+        # canonical attrs JSON (compact, sorted keys, unquoted numbers)
+        # with a regex.  Only the integral collapse (2.0 -> "2", mirroring
+        # _fmt_num) rewrites the token.
+        tok = F.regexp_extract(F.col("attrs_json"), f'"{name}":([^,}}]+)', 1)
+        tok = F.when(tok != "", tok)
+        d = tok.cast("double")
+        integral = d.isNotNull() & (d == F.floor(d)) & (F.abs(d) < F.lit(1e15))
+        val = F.when(integral, d.cast("bigint").cast("string")).otherwise(tok)
+        return F.when(tok.isNotNull(), F.concat(F.lit(f' {name}="'), val, F.lit('"'))).otherwise(F.lit(""))
 
     head_attrs = F.concat(
         attr("id", a.getField("id")),
         F.when(F.col("kind") == "node", F.concat(
-            attr("lon", a.getField("lon"), fmt_num=True),
-            attr("lat", a.getField("lat"), fmt_num=True),
+            attr_coord("lon"),
+            attr_coord("lat"),
         )).otherwise(F.lit("")),
         attr("version", a.getField("version")),
         attr("timestamp", a.getField("timestamp")),
