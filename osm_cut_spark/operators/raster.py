@@ -47,11 +47,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi join with explicit hot-key salting.
 
-    ``big`` is the skewed side (salt derived from a per-row hash);
+    ``big`` is the skewed side (salt derived from a per-row content hash —
+    deterministic across task retries, unlike a partition-local row id);
     ``small`` is replicated per salt.  Keys with big-side counts under
     ``hot_threshold`` keep salt 0 (no replication).  Returns the joined
     frame (salt columns dropped).
+
+    Only ``inner``/``left`` joins are supported: replicating the small
+    side would emit unmatched small-side rows once per salt under
+    right/full semantics.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
     spark = big.sparkSession
     hot = (
         big.groupBy(key)
@@ -68,7 +75,7 @@ def salted_join(
         .withColumn("n_salt", F.coalesce(F.col("n_salt"), F.lit(1)))
         .withColumn(
             "_salt",
-            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.col("n_salt")).cast("int"),
+            F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.col("n_salt")).cast("int"),
         )
         .drop("n_salt")
     )

@@ -114,11 +114,17 @@ class ResumableCut:
             raise RuntimeError(f"injected crash before committing {stage}/{bucket}")
         self._commits += 1
         df = df.persist()
+        # metrics FIRST, data snapshot LAST: the data snapshot is the resume
+        # marker, so a crash between the two re-runs the bucket instead of
+        # permanently losing its lineage/processed-cell rows.  The metrics
+        # write itself is idempotent (skipped when a prior attempt already
+        # committed it), so the re-run cannot double-append.
+        if bucket not in self._committed(self.ckpt_tbl, stage):
+            metrics = _lineage_rows(df, stage, bucket)
+            if with_cells:
+                metrics = metrics.unionByName(_cell_rows(df, stage, bucket))
+            self.ckpt_tbl.append(metrics, properties={"stage": stage, "bucket": bucket})
         snap = tbl.append(df, properties={"stage": stage, "bucket": bucket})
-        metrics = _lineage_rows(df, stage, bucket)
-        if with_cells:
-            metrics = metrics.unionByName(_cell_rows(df, stage, bucket))
-        self.ckpt_tbl.append(metrics, properties={"stage": stage, "bucket": bucket})
         df.unpersist()
         return snap
 
@@ -177,11 +183,13 @@ class ResumableCut:
                 self.ways_tbl.read(spark),
                 self.complete,
             )
-            out = result.elements()
+            out = result.elements().persist()
+            if 0 not in self._committed(self.ckpt_tbl, "final"):
+                self.ckpt_tbl.append(
+                    _lineage_rows(out, "final", 0), properties={"stage": "final", "bucket": 0}
+                )
             self.out_tbl.append(out, properties={"stage": "final", "bucket": 0})
-            self.ckpt_tbl.append(
-                _lineage_rows(out, "final", 0), properties={"stage": "final", "bucket": 0}
-            )
+            out.unpersist()
             result.release()
 
         narrow.unpersist()

@@ -101,6 +101,39 @@ def test_crash_and_resume(spark, tmp_path, fixture_docs):
     assert got == want
 
 
+def test_crash_between_metrics_and_data(spark, tmp_path, fixture_docs):
+    """Metrics commit first, data snapshot last: a crash in between re-runs
+    the bucket (no metric loss) without double-appending metrics."""
+    poly = compile_poly(FIXTURE_POLY)
+    cover = polygon_cell_cover(poly)
+    root = tmp_path / "cut4"
+    cut = ResumableCut(
+        spark, fixture_docs, poly, root, complete=True, n_buckets=2, cover=cover
+    )
+    # simulate the crash window: metrics for (nodes, 1) committed, data not
+    cut.ckpt_tbl.append(
+        spark.createDataFrame(
+            [("nodes", 1, "partition_lineage", 0, 0, None, None)],
+            "stage STRING, bucket INT, metric STRING, key BIGINT, n_rows BIGINT,"
+            " min_id BIGINT, max_id BIGINT",
+        ),
+        properties={"stage": "nodes", "bucket": 1},
+    )
+    summary = cut.run()
+    assert summary["resumed_buckets"] == 0  # data snapshots drive resume
+    node_metric_snaps = [
+        s for s in cut.ckpt_tbl.snapshots()
+        if s["properties"].get("stage") == "nodes" and int(s["properties"]["bucket"]) == 1
+    ]
+    assert len(node_metric_snaps) == 1  # not re-appended by the re-run
+    got = {(r.kind, r.id) for r in cut.out_tbl.read(spark).collect()}
+    want = {
+        (r.kind, r.id)
+        for r in extract(spark, fixture_docs, poly, complete=True, cover=cover).elements().collect()
+    }
+    assert got == want
+
+
 def test_rerun_is_noop(spark, tmp_path):
     poly = compile_poly(FIXTURE_POLY)
     cover = polygon_cell_cover(poly)
