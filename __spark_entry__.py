@@ -138,10 +138,10 @@ def _simhash_pairs_sql(max_hamming=6, n_bits=60) -> str:
     """
 
 
-def _lsh_ann_sql(dim=64, n_planes=64, n_bands=16, seed=42, k=10) -> str:
-    """LSH-ANN replay with the hyperplane matrix inlined as literals; dot
-    products fold sequentially in both engines (exact_jvm path) so bucket
-    keys and the candidate set match bit-for-bit."""
+def _lsh_keys_fn(dim: int, n_planes: int, n_bands: int, seed: int):
+    """SQL builder for random-hyperplane band bucket keys with the plane
+    matrix inlined as literals; dot products fold sequentially in both
+    engines (exact_jvm path) so sign bits and keys match bit-for-bit."""
     from osm_cut_spark.operators.simsearch import _hyperplanes
 
     planes = _hyperplanes(dim, n_planes, seed)
@@ -159,7 +159,12 @@ def _lsh_ann_sql(dim=64, n_planes=64, n_bands=16, seed=42, k=10) -> str:
         )
         return f"(({terms}) | CAST({b << 48} AS BIGINT))"
 
-    keys = lambda vec: "[" + ", ".join(key(b, vec) for b in range(n_bands)) + "]"
+    return lambda vec: "[" + ", ".join(key(b, vec) for b in range(n_bands)) + "]"
+
+
+def _lsh_ann_sql(dim=64, n_planes=64, n_bands=16, seed=42, k=10) -> str:
+    """LSH-ANN replay: bucket-key probe + exact cosine re-rank."""
+    keys = _lsh_keys_fn(dim, n_planes, n_bands, seed)
     return f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         qk AS (SELECT qv, {keys('qv')} AS keys FROM q),
@@ -173,6 +178,24 @@ def _lsh_ann_sql(dim=64, n_planes=64, n_bands=16, seed=42, k=10) -> str:
                  FROM cand)
         SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank, vec_id
         FROM sims ORDER BY sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _cosine_dup_sql(threshold=0.4, dim=64, n_planes=32, n_bands=16, seed=42) -> str:
+    """Embedding-cosine near-dup replay: same banded-candidate semantics as
+    the operator (pairs sharing >=1 band key), exact cosine verify."""
+    keys = _lsh_keys_fn(dim, n_planes, n_bands, seed)
+    return f"""
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bk AS (SELECT vec_id, {keys('v')} AS keys FROM base),
+        banded AS (SELECT vec_id, unnest(keys) AS key FROM bk),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM banded a JOIN banded b USING (key) WHERE a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN base a ON a.vec_id = c.id_a JOIN base b ON b.vec_id = c.id_b
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              >= {threshold}
     """
 
 
@@ -427,6 +450,18 @@ def q_lsh_ann(spark, sf_dir):
     ).select("rank", "vec_id")
 
 
+def q_cosine_dup(spark, sf_dir):
+    """Dedup: embedding-cosine near-dup pairs — hyperplane band buckets ->
+    candidate pairs -> exact cosine >= 0.4; the oracle replays the banded
+    candidate semantics with the plane matrix inlined (exact_jvm folds)."""
+    from osm_cut_spark.operators.simsearch import cosine_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(
+        spark, emb, threshold=0.4, n_planes=32, n_bands=16, exact_jvm=True
+    ).select("id_a", "id_b")
+
+
 def q_ivf_ann_fullprobe(spark, sf_dir):
     """Similarity search: IVF with full probe == exact top-k, so the exact
     cosine SQL is a valid oracle (proves the inverted-file path loses
@@ -460,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_ann": q_lsh_ann,
+        "cosine_dup": q_cosine_dup,
         "ivf_ann_fullprobe": q_ivf_ann_fullprobe,
         "simhash_pairs": q_simhash_pairs,
     }
@@ -479,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "lsh_ann": _lsh_ann_sql(),
+        "cosine_dup": _cosine_dup_sql(),
         "ivf_ann_fullprobe": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             sims AS (

@@ -138,6 +138,80 @@ def lsh_ann(
     )
 
 
+def _dot_cols(a, b):
+    """Sequential fold dot of two array columns (DuckDB-matching shape)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_dup_pairs(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    n_planes: int = 32,
+    n_bands: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_jvm: bool = False,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
+
+    The embedding twin of minhash_lsh_pairs: random-hyperplane band buckets
+    produce candidates (pairs sharing >=1 band key — never an all-pairs
+    product), verified with the exact cosine.  Recall is tuned by
+    (n_planes, n_bands): rows_per_band ~ 2 catches moderate similarities,
+    higher rows_per_band sharpens to high thresholds.  The physical plan is
+    the slim shape: the bucket groupBy carries only (id, key); vectors
+    re-enter via two joins on the (small) candidate set.  ``exact_jvm``
+    computes bucket keys with sequential JVM folds (DuckDB-replayable).
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).head()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    if exact_jvm:
+        keyed = embeddings.select(
+            F.col(id_col).alias("_id"), lsh_bucket_cols(planes, n_bands, F.col(vec_col)).alias("_keys")
+        )
+    else:
+        lsh = make_lsh_udf(spark, dim, n_planes, n_bands, seed)
+        keyed = embeddings.select(F.col(id_col).alias("_id"), lsh(F.col(vec_col)).alias("_keys"))
+    banded = keyed.select("_id", F.explode("_keys").alias("key"))
+    pairs = (
+        banded.groupBy("key")
+        .agg(F.collect_list("_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), b ->"
+                    "   struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    emb = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    va = emb.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    vb = emb.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    sim = (
+        _dot_cols(F.col("va"), F.col("vb"))
+        / (F.sqrt(_dot_cols(F.col("va"), F.col("va"))) * F.sqrt(_dot_cols(F.col("vb"), F.col("vb"))))
+    ).alias("sim")
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim)
+        .filter(F.col("sim") >= F.lit(float(threshold)))
+    )
+
+
 def ivf_build(
     spark: SparkSession,
     embeddings: DataFrame,

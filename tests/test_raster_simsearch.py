@@ -156,3 +156,36 @@ def test_streaming_extract_and_windows(spark, tmp_path):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     wc = windowed_event_counts(ev, "10 minutes")
     assert wc.count() > 0
+
+
+def test_cosine_dup_pairs_subset_of_exact(spark):
+    import numpy as np
+    from osm_cut_spark.operators.simsearch import cosine_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = [r.vec_id for r in rows]
+    sims = mat @ mat.T
+    exact = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.35
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_dup_pairs(spark, emb, threshold=0.35, n_bands=16).collect()
+    }
+    assert got <= exact  # verified candidates never exceed the exact set
+    if exact:
+        assert len(got) / len(exact) >= 0.8  # banded recall at rows_per_band=2
+    # UDF and JVM bucket paths agree on the pair set
+    jvm = {
+        (r.id_a, r.id_b)
+        for r in cosine_dup_pairs(
+            spark, emb, threshold=0.35, n_bands=16, exact_jvm=True
+        ).collect()
+    }
+    assert jvm == got
