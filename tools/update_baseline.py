@@ -42,7 +42,7 @@ def main():
             eff = rec["value"]
             verdict = "MEETS" if eff >= 0.8 else "BELOW"
             out.append(
-                f"**Scaling efficiency 8→32 cores: {eff:.3f} ({verdict} the ≥0.8 target)**\n"
+                f"**{rec['metric']}: {eff:.3f} ({verdict} the ≥0.8 target)**\n"
             )
     OUT.write_text("".join(out))
     print(f"wrote {OUT}")
