@@ -92,6 +92,8 @@ def run_once(spark, sf_dir: str) -> dict:
         "window_topk",
         "exact_dedup",
         "minhash_pairs",
+        "simhash_pairs",
+        "knn_join",
         "token_stats",
         "raster_vector_join",
     ]:

@@ -148,8 +148,8 @@ def cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     dim: int | None = None,
-    n_planes: int = 32,
-    n_bands: int = 16,
+    n_planes: int = 64,
+    n_bands: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -160,9 +160,12 @@ def cosine_dup_pairs(
 
     The embedding twin of minhash_lsh_pairs: random-hyperplane band buckets
     produce candidates (pairs sharing >=1 band key — never an all-pairs
-    product), verified with the exact cosine.  Recall is tuned by
-    (n_planes, n_bands): rows_per_band ~ 2 catches moderate similarities,
-    higher rows_per_band sharpens to high thresholds.  The physical plan is
+    product), verified with the exact cosine.  Recall/blowup is tuned by
+    (n_planes, n_bands): bucket count per band is 2^(n_planes/n_bands),
+    so rows_per_band must GROW with corpus size to keep buckets (and the
+    quadratic in-bucket expansion) bounded — the default rpb=8 gives 256
+    buckets/band for high-threshold dedup; rpb~2 only for small corpora
+    with moderate thresholds.  The physical plan is
     the slim shape: the bucket groupBy carries only (id, key); vectors
     re-enter via two joins on the (small) candidate set.  ``exact_jvm``
     computes bucket keys with sequential JVM folds (DuckDB-replayable).
