@@ -93,11 +93,34 @@ def run_once(spark, sf_dir: str) -> dict:
         "exact_dedup",
         "minhash_pairs",
         "simhash_pairs",
-        "knn_join",
         "token_stats",
         "raster_vector_join",
     ]:
         timed(name, lambda n=name: noop(qs[n](spark, sf_dir)))
+
+    # knn_join at realistic spatial selectivity (res 10 ~ 0.35deg cells,
+    # 5x5 disk); the entry-query variant uses a grid-covering disk purely
+    # as the oracle exactness proof and would measure a brute-force join
+    def bench_knn_join():
+        from pyspark.sql import functions as F
+
+        from osm_cut_spark.operators.knn import knn_join
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        pts = li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pt_id"),
+            ((F.col("l_orderkey") % 1500) / 100.0).alias("x"),
+            ((F.col("l_partkey") % 1100) / 100.0).alias("y"),
+        )
+        q = pts.limit(200).select(
+            F.col("pt_id").alias("qid"), F.col("x"), F.col("y")
+        )
+        noop(
+            knn_join(spark, pts, q, k=5, res=10, radius=2,
+                     id_col="pt_id", q_id_col="qid", lon_col="x", lat_col="y")
+        )
+
+    timed("knn_join", bench_knn_join)
 
     headline = timings["extract_complete"]
     return {

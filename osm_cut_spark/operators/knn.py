@@ -86,8 +86,6 @@ def knn_points(
     than k points inside the maximum disk.  For many queries use
     ``knn_join`` (one equi-join, no per-query driver loop).
     """
-    import numpy as np
-
     if max_rings < 1:
         raise ValueError("max_rings must be >= 1")
     qcell = int(lonlat_to_cell(np.array([query_lon]), np.array([query_lat]), res)[0])
