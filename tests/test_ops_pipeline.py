@@ -145,3 +145,19 @@ def test_dedup_plan_stays_jvm(spark, docs):
 
     plan = minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_minhash_plan_shape(spark, docs):
+    """Round-2 plan guarantees: the signature pipeline scans the docs table
+    exactly 3 times (sig -> buckets, plus the two slim exact-Jaccard
+    verify joins) and never uses a window (bucket capping is an aggregate,
+    not a per-row count-over)."""
+    from osm_cut_spark.operators.dedup import minhash_lsh_pairs, simhash_dup_pairs
+
+    plan = minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") <= 3, plan.count("Scan parquet")
+    splan = simhash_dup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in splan
+    # single-scan groupBy pair expansion: the 63-bit-term simhash runs once
+    assert splan.count("Scan parquet") == 1, splan.count("Scan parquet")
