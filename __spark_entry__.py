@@ -425,6 +425,23 @@ def q_simhash_pairs(spark, sf_dir):
     ).select("id_a", "id_b", "hamming")
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Dedup resolution: connected components over the (replayable)
+    MinHash near-dup pairs via distributed min-label propagation;
+    cluster_id = min doc id of the component.  Oracle = recursive-CTE
+    transitive closure over the same pair set."""
+    from osm_cut_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        jaccard_threshold=0.3,
+        n_perm=16,
+        bands=8,
+        replayable=True,
+    )
+    return dup_clusters(pairs)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Dedup: exact word-3-gram Jaccard pairs at threshold 0.3 via the
     size-band-blocked operator (no cartesian product); the oracle replays
@@ -493,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vector_join": q_raster_vector_join,
         "sessionize": q_sessionize,
         "minhash_pairs": q_minhash_pairs,
+        "dup_clusters": q_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_ann": q_lsh_ann,
         "cosine_dup": q_cosine_dup,
@@ -513,6 +531,17 @@ def oracle_sql() -> dict[str, str]:
                   >= 0.3 * len(list_distinct(list_concat(a.sh, b.sh)))
         """,
         "minhash_pairs": _minhash_pairs_sql(),
+        "dup_clusters": f"""
+            WITH RECURSIVE p AS (SELECT * FROM ({_minhash_pairs_sql()}) mp),
+            und AS (SELECT id_a AS a, id_b AS b FROM p
+                    UNION SELECT id_b, id_a FROM p),
+            reach(src, dst) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+            )
+            SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        """,
         "simhash_pairs": _simhash_pairs_sql(),
         "lsh_ann": _lsh_ann_sql(),
         "cosine_dup": _cosine_dup_sql(),

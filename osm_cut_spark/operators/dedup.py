@@ -396,6 +396,64 @@ def simhash_dup_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 32,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: (doc_id, cluster_id) for every
+    id that appears in ``pairs``, cluster_id = MIN id of the connected
+    component (the deterministic survivor — compose with exact_dedup's
+    keep_id convention).
+
+    Distributed min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors; converges in O(component
+    diameter) rounds — near-dup graphs are unions of short chains/cliques,
+    so a handful of rounds in practice (``max_iters`` guards pathological
+    chains).  Each round is one equi-join + groupBy on the (small) edge
+    set; per-round frames are persisted and released on convergence, and
+    lineage is truncated every 8 rounds.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    und = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = und.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id")).persist()
+    labels.count()
+    for it in range(max_iters):
+        nbr_min = (
+            und.join(labels, und.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.a, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+            )
+        )
+        if (it + 1) % 8 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
 def simhash64(text_col: str = "text", ngram: int = 2):
     """Single-expression 63-bit SimHash column (compatibility shim; prefer
     ``simhash_docs`` which stages the projections)."""

@@ -96,6 +96,18 @@ def test_minhash_finds_near_dups(spark):
     assert got <= exact
 
 
+def test_dup_clusters_connected_components(spark):
+    from osm_cut_spark.operators.dedup import dup_clusters
+
+    # components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,7}, {10,11,12} (clique)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 7), (10, 11), (11, 12), (10, 12)],
+        "id_a LONG, id_b LONG",
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5, 10: 10, 11: 10, 12: 10}
+
+
 def test_simhash_hamming(spark):
     from osm_cut_spark.operators.dedup import simhash_dup_pairs
 
