@@ -189,3 +189,26 @@ def test_cosine_dup_pairs_subset_of_exact(spark):
         ).collect()
     }
     assert jvm == got
+
+
+def test_ivf_partition_pruning(spark, tmp_path):
+    """The IVF scale path: persisting the assigned table partitioned by
+    _list turns a probe into real partition pruning — the scan plan shows
+    a PartitionFilters entry on _list and reads only n_probe lists."""
+    from pyspark.sql import functions as F
+
+    from osm_cut_spark.operators.simsearch import ivf_build, ivf_search
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head().embedding]
+    centroids, assigned = ivf_build(spark, emb.filter("vec_id != 0"), n_centroids=8)
+    path = str(tmp_path / "ivf")
+    assigned.write.partitionBy("_list").parquet(path)
+    on_disk = spark.read.parquet(path)
+
+    got = ivf_search(spark, on_disk, centroids, qvec, k=5, n_probe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_list" in plan
+    # pruned probe == in-memory probe results
+    want = [r.vec_id for r in ivf_search(spark, assigned, centroids, qvec, k=5, n_probe=2).collect()]
+    assert [r.vec_id for r in got.collect()] == want
