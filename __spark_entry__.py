@@ -365,6 +365,22 @@ def q_lang_family(spark, sf_dir):
     return lang_id(_t(spark, sf_dir, "documents"))
 
 
+def q_fingerprint(spark, sf_dir):
+    """Text analysis: winnowing-style window fingerprint on the replayable
+    hash; window hashes serialized to one canonical string column so the
+    value comparison is scalar-exact."""
+    from osm_cut_spark.operators.textstats import fingerprint
+
+    fp = fingerprint(_t(spark, sf_dir, "documents"), replayable=True)
+    return fp.select(
+        "doc_id",
+        "full_hash",
+        F.concat_ws(
+            ",", F.transform(F.col("window_hashes"), lambda h: h.cast("string"))
+        ).alias("win_str"),
+    )
+
+
 def q_raster_vector_join(spark, sf_dir):
     """New capability shape: tile-keyed raster<->vector equi join + agg
     (integer tiles so the oracle replays; real cell ids in pytest)."""
@@ -507,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_family": q_lang_family,
+        "fingerprint": q_fingerprint,
         "raster_vector_join": q_raster_vector_join,
         "sessionize": q_sessionize,
         "minhash_pairs": q_minhash_pairs,
@@ -689,6 +706,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_cjk > 0 THEN 'cjk'
                         ELSE 'unknown' END AS lang_family
             FROM c
+        """,
+        "fingerprint": f"""
+            SELECT doc_id,
+                   {_h64('text')} AS full_hash,
+                   array_to_string(
+                       [{_h64("substr(text, CAST(floor(i * greatest(length(text) - 32, 1) / 8) AS INT) + 1, 32)")}
+                        for i in range(0, 8)], ',') AS win_str
+            FROM documents
         """,
         "raster_vector_join": """
             WITH pts AS (

@@ -84,16 +84,32 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
-def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Rolling-hash document fingerprint: xxhash64 of 8 evenly-spaced text
-    windows + full-text hash (winnowing-style sketch, fixed offsets)."""
+def fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", replayable: bool = False
+) -> DataFrame:
+    """Rolling-hash document fingerprint: 8 evenly-spaced text-window
+    hashes + full-text hash (winnowing-style sketch, fixed offsets).
+
+    ``replayable=True`` hashes with the md5-derived h64 (DuckDB twin) so
+    the sketch is oracle-checkable; offsets use floor() (not a bare int
+    cast) because DuckDB's double->int cast rounds where Spark truncates.
+    """
+    from osm_cut_spark.operators.dedup import _hash64
+
     n = F.length(text_col)
     win = F.transform(
         F.sequence(F.lit(0), F.lit(7)),
-        lambda i: F.xxhash64(F.substring(F.col(text_col), (i * F.greatest(n - 32, F.lit(1)) / 8).cast("int") + 1, 32)),
+        lambda i: _hash64(
+            F.substring(
+                F.col(text_col),
+                F.floor(i * F.greatest(n - 32, F.lit(1)) / 8).cast("int") + 1,
+                32,
+            ),
+            replayable,
+        ),
     )
     return docs.select(
         F.col(id_col),
-        F.xxhash64(F.col(text_col)).alias("full_hash"),
+        _hash64(F.col(text_col), replayable).alias("full_hash"),
         win.alias("window_hashes"),
     )
