@@ -639,8 +639,13 @@ def extract(
     complete: bool = False,
     cover: CellCover | None = None,
     assume_sorted: bool = True,
+    doc_grouped_output: bool = False,
 ) -> ExtractResult:
     """Full polygon-cut extraction over an interleaved-docs DataFrame.
+
+    ``doc_grouped_output=True`` joins selections back per DOCUMENT instead
+    of per element — pair with a doc_id-bucketed docs table to keep the
+    wide span data entirely shuffle-free.
 
     Late-materialization architecture: ALL selection logic (PIP, semi-
     joins, closure) runs over one cached NARROW frame (ids/geometry/refs
@@ -670,7 +675,7 @@ def extract(
     ways_sel = select_ways(ways, sel_node_ids, complete)
     return finish_extract(
         spark, docs, nodes, relations, nodes_sel, ways_sel, complete, assume_sorted,
-        caches=caches,
+        caches=caches, doc_grouped_output=doc_grouped_output,
     )
 
 
@@ -684,6 +689,7 @@ def finish_extract(
     complete: bool,
     assume_sorted: bool = True,
     caches: list | None = None,
+    doc_grouped_output: bool = False,
 ) -> ExtractResult:
     """Completion + relation selection + output assembly over precomputed
     (narrow) node/way selections (also the resume path of
@@ -814,8 +820,49 @@ def finish_extract(
         )
     )
 
-    el_raw = ingest.explode_elements(docs, assume_sorted)
-    out = el_raw.join(sel_keys, _WAY_KEY, "inner").select(
+    if doc_grouped_output:
+        # 100 TB path: group the slim selection keys per document and join
+        # the docs table ONCE on doc_id — with a doc_id-bucketed (Iceberg-
+        # layout) docs table the wide side needs NO exchange at all; only
+        # the slim key map shuffles.  The element explode + child filter
+        # run as narrow JVM ops after the join.
+        sel_doc = sel_keys.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(F.col("offset"), F.struct("phase", "kept_nds", "kept_m"))
+                )
+            ).alias("_selmap")
+        )
+        joined = docs.join(sel_doc, "doc_id")
+        el_raw = ingest.explode_elements(joined, assume_sorted, extra_cols=("_selmap",))
+        matched = (
+            el_raw.withColumn("_sel", F.element_at(F.col("_selmap"), F.col("offset")))
+            .filter(F.col("_sel").isNotNull())
+            .select(
+                "doc_id",
+                "kind",
+                "attrs_json",
+                "offset",
+                "child_spans",
+                F.col("_sel.phase").alias("phase"),
+                F.col("_sel.kept_nds").alias("kept_nds"),
+                F.col("_sel.kept_m").alias("kept_m"),
+            )
+        )
+        out = _output_projection(matched)
+    else:
+        el_raw = ingest.explode_elements(docs, assume_sorted)
+        out = _output_projection(el_raw.join(sel_keys, _WAY_KEY, "inner"))
+
+    passthrough = ingest.parse_passthrough_spans(docs, assume_sorted)
+    return ExtractResult(all_elements=out, passthrough=passthrough, caches=caches)
+
+
+def _output_projection(el: DataFrame) -> DataFrame:
+    """Final element rows from a frame carrying (phase, kind, attrs_json,
+    doc_id, offset, child_spans, kept_nds, kept_m): child spans filtered to
+    kept refs, ORIGINAL span text re-emitted verbatim."""
+    return el.select(
         "phase",
         "kind",
         F.from_json("attrs_json", "id BIGINT").getField("id").alias("id"),
@@ -840,6 +887,3 @@ def finish_extract(
         .otherwise(F.col("child_spans"))
         .alias("out_child_spans"),
     )
-
-    passthrough = ingest.parse_passthrough_spans(docs, assume_sorted)
-    return ExtractResult(all_elements=out, passthrough=passthrough, caches=caches)

@@ -51,17 +51,22 @@ def _sorted_spans(docs: DataFrame, assume_sorted: bool) -> DataFrame:
     )
 
 
-def explode_elements(docs: DataFrame, assume_sorted: bool = True) -> DataFrame:
+def explode_elements(
+    docs: DataFrame, assume_sorted: bool = True, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """docs(doc_id, spans) -> one row per element with raw attrs + children.
 
-    Columns: doc_id, kind, attrs_json, offset, child_spans.
+    Columns: doc_id, kind, attrs_json, offset, child_spans [+ extra_cols
+    carried through unchanged — used by the doc-grouped output path to
+    keep per-document selection maps alongside the exploded elements].
     """
     return (
         _sorted_spans(docs, assume_sorted)
         .withColumn("parents", F.expr(_PARENTS))
-        .select("doc_id", "spans", F.explode(F.expr(_ELEMENTS)).alias("e"))
+        .select("doc_id", "spans", *extra_cols, F.explode(F.expr(_ELEMENTS)).alias("e"))
         .select(
             "doc_id",
+            *extra_cols,
             F.col("e.kind").alias("kind"),
             F.col("e.attrs_json").alias("attrs_json"),
             F.col("e.offset").alias("offset"),

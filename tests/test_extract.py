@@ -52,6 +52,80 @@ def _projected(el, nds=None, members=None):
     return out
 
 
+def test_doc_grouped_output_equals_element_join(spark, fixture):
+    """The doc-grouped output path (per-document selection map joined on
+    doc_id — the bucketed-table zero-wide-shuffle plan) must produce the
+    exact same element rows as the per-element join, both modes."""
+    from osm_cut_spark.sources.docs import synthetic_docs_spark
+
+    els, poly, cover = fixture
+    docs = doc_rows_to_spark(spark, elements_to_doc_rows(els, 3))
+    for complete in (False, True):
+        a = extract(spark, docs, poly, complete=complete, cover=cover)
+        b = extract(
+            spark, docs, poly, complete=complete, cover=cover, doc_grouped_output=True
+        )
+        rows = lambda r: sorted(
+            (x.phase, x.kind, x.id, x.doc_id, x.offset, x.attrs_json,
+             tuple(tuple(c) for c in x.out_child_spans))
+            for x in r.elements().collect()
+        )
+        assert rows(b) == rows(a)
+        a.release()
+        b.release()
+    # and on a larger synthetic table (cross-doc refs, media/text spans)
+    syn = synthetic_docs_spark(spark, 60, seed=11)
+    a = extract(spark, syn, poly, complete=True, cover=cover)
+    b = extract(spark, syn, poly, complete=True, cover=cover, doc_grouped_output=True)
+    ka = sorted((r.phase, r.kind, r.id) for r in a.elements().collect())
+    kb = sorted((r.phase, r.kind, r.id) for r in b.elements().collect())
+    assert kb == ka
+    a.release()
+    b.release()
+
+
+def test_doc_grouped_output_bucketed_no_wide_shuffle(spark, fixture, tmp_path):
+    """With the docs table bucketed by doc_id, the doc-grouped output join
+    reads the wide side straight from buckets: the scan subtree on the
+    docs side carries no Exchange (only the slim key map shuffles)."""
+    from osm_cut_spark.sources.docs import synthetic_docs_spark
+
+    _, poly, cover = fixture
+    syn = synthetic_docs_spark(spark, 40, seed=5)
+    spark.sql("DROP TABLE IF EXISTS docs_bucketed_t")
+    (
+        syn.write.bucketBy(4, "doc_id")
+        .sortBy("doc_id")
+        .option("path", str(tmp_path / "docs_bucketed"))
+        .mode("overwrite")
+        .saveAsTable("docs_bucketed_t")
+    )
+    syn.write.mode("overwrite").parquet(str(tmp_path / "docs_plain"))
+    try:
+        docs_b = spark.table("docs_bucketed_t")
+        res_b = extract(spark, docs_b, poly, complete=False, cover=cover,
+                        doc_grouped_output=True)
+        plan_b = res_b.elements()._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan_b or "Bucketed: true" in plan_b, plan_b[:2000]
+
+        docs_u = spark.read.parquet(str(tmp_path / "docs_plain"))
+        res_u = extract(spark, docs_u, poly, complete=False, cover=cover,
+                        doc_grouped_output=True)
+        plan_u = res_u.elements()._jdf.queryExecution().executedPlan().toString()
+        # the bucketed wide side skips its exchange: strictly fewer
+        # Exchange nodes than the identical unbucketed plan
+        assert plan_b.count("Exchange") < plan_u.count("Exchange"), (
+            plan_b.count("Exchange"), plan_u.count("Exchange"))
+        # and results agree
+        kb = sorted((r.phase, r.kind, r.id) for r in res_b.elements().collect())
+        ku = sorted((r.phase, r.kind, r.id) for r in res_u.elements().collect())
+        assert kb == ku and len(kb) > 0
+        res_b.release()
+        res_u.release()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS docs_bucketed_t")
+
+
 def test_non_complete_golden(spark, fixture):
     els, poly, cover = fixture
     result = _run(spark, els, poly, cover, complete=False)
