@@ -564,6 +564,10 @@ class ExtractResult:
     all_elements: DataFrame
     passthrough: DataFrame  # (doc_id, kind, text, media_ref, offset)
     caches: list = field(default_factory=list)
+    # doc-grouped mode precomputes output documents as narrow per-row HOFs
+    # (no regroup shuffle); element mode leaves this None and documents()
+    # falls back to the union + groupBy path
+    documents_grouped: DataFrame | None = None
 
     def release(self) -> None:
         for df in self.caches:
@@ -585,6 +589,8 @@ class ExtractResult:
         i.e. each output document is the input document filtered to kept
         spans (the span-sequence invariant).
         """
+        if self.documents_grouped is not None:
+            return self.documents_grouped
         el = self.all_elements
         parent_spans = el.select(
             "doc_id",
@@ -850,12 +856,71 @@ def finish_extract(
             )
         )
         out = _output_projection(matched)
+        docs_grouped = _documents_grouped(ingest._sorted_spans(joined, assume_sorted))
     else:
         el_raw = ingest.explode_elements(docs, assume_sorted)
         out = _output_projection(el_raw.join(sel_keys, _WAY_KEY, "inner"))
+        docs_grouped = None
 
     passthrough = ingest.parse_passthrough_spans(docs, assume_sorted)
-    return ExtractResult(all_elements=out, passthrough=passthrough, caches=caches)
+    return ExtractResult(
+        all_elements=out,
+        passthrough=passthrough,
+        caches=caches,
+        documents_grouped=docs_grouped,
+    )
+
+
+# child-span keep rule shared with _output_projection, expressed against a
+# selection struct s = element_at(_selmap, parent.offset): tags always kept;
+# nd refs filtered to kept_nds; members filtered to kept_m
+_KEEP_CHILD = """
+CASE WHEN c.kind = 'tag' THEN true
+     WHEN c.kind = 'nd' THEN element_at(_selmap, p.offset).kept_nds IS NOT NULL
+          AND array_contains(element_at(_selmap, p.offset).kept_nds,
+                             from_json(c.text, 'ref BIGINT').ref)
+     WHEN c.kind = 'member' THEN element_at(_selmap, p.offset).kept_m IS NOT NULL
+          AND exists(element_at(_selmap, p.offset).kept_m,
+                     k -> k.type = from_json(c.text, 'type STRING, ref BIGINT').type
+                      AND k.ref  = from_json(c.text, 'type STRING, ref BIGINT').ref)
+     ELSE false END
+"""
+
+
+def _documents_grouped(joined: DataFrame) -> DataFrame:
+    """Output documents computed entirely within each (docs ⋈ selmap) row:
+    kept parent spans + filtered child spans + passthrough text/media,
+    offset-sorted and renumbered — the documents() semantics with NO
+    regroup shuffle (per-row HOFs only; with a bucketed docs table the
+    whole document output is shuffle-free after selection).
+
+    Node/completion-phase selections carry null kept_nds/kept_m, in which
+    case their (tag-only) children pass the keep rule unchanged — the same
+    `otherwise(child_spans)` semantics as the element-join projection.
+    """
+    kept_runs = f"""
+    flatten(transform(parents, (p, i) ->
+        CASE WHEN element_at(_selmap, p.offset) IS NOT NULL THEN
+            concat(array(p),
+                   filter(spans, c -> c.offset > p.offset
+                        AND (i = size(parents) - 1 OR c.offset < parents[i + 1].offset)
+                        AND c.kind IN ('nd', 'member', 'tag')
+                        AND ({_KEEP_CHILD})))
+        ELSE array() END))
+    """
+    out_spans = f"""
+    transform(
+        array_sort(
+            concat(({kept_runs}), filter(spans, s -> s.kind IN ('text', 'media'))),
+            (l, r) -> int(l.offset) - int(r.offset)),
+        (s, i) -> struct(s.kind AS kind, s.text AS text,
+                         s.media_ref AS media_ref, int(i) AS offset))
+    """
+    return (
+        joined.withColumn("parents", F.expr(ingest._PARENTS))
+        .select("doc_id", F.expr(out_spans).alias("spans"))
+        .filter(F.size("spans") > 0)
+    )
 
 
 def _output_projection(el: DataFrame) -> DataFrame:

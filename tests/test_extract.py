@@ -80,6 +80,10 @@ def test_doc_grouped_output_equals_element_join(spark, fixture):
     ka = sorted((r.phase, r.kind, r.id) for r in a.elements().collect())
     kb = sorted((r.phase, r.kind, r.id) for r in b.elements().collect())
     assert kb == ka
+    # documents() too: the grouped no-shuffle regroup must be span-exact
+    docs_a = {r.doc_id: [tuple(s) for s in r.spans] for r in a.documents().collect()}
+    docs_b = {r.doc_id: [tuple(s) for s in r.spans] for r in b.documents().collect()}
+    assert docs_b == docs_a
     a.release()
     b.release()
 
