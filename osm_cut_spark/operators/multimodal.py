@@ -115,6 +115,77 @@ def frame_sample(media: DataFrame, every_n: int = 10, real: bool = False) -> Dat
     )
 
 
+def resize_image(
+    media: DataFrame, out_w: int = 16, out_h: int = 16, real: bool = False
+) -> DataFrame:
+    """Image resize over Arrow batches: decode -> nearest-neighbor
+    resample -> re-emitted payload with updated metadata (same MEDIA
+    schema, so resize composes with every other media operator).  The
+    resample is pure numpy on the fake-decoded luminance plane; ``real``
+    would swap in PIL's decoder + resampler."""
+    if real:
+        raise NotImplementedError(
+            "real image resize requires PIL — not available in this sandbox"
+        )
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                plane = _fake_decode(r.payload, r.width, r.height)
+                ys = (np.arange(out_h) * (plane.shape[0] / out_h)).astype(int)
+                xs = (np.arange(out_w) * (plane.shape[1] / out_w)).astype(int)
+                small = plane[ys][:, xs].astype(np.uint8)
+                rows.append(
+                    (r.media_ref, "image/raw-lum", out_w, out_h, small.size, small.tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "mime", "width", "height", "n_bytes", "payload"]
+            )
+
+    return media.mapInPandas(rz, MEDIA_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_ref STRING, n_samples INT, rms DOUBLE, zero_crossings INT, duration_sec DOUBLE"
+)
+
+
+def audio_features(
+    media: DataFrame, sample_rate: int = 16000, real: bool = False
+) -> DataFrame:
+    """Audio feature extraction: payload -> PCM -> RMS / zero-crossing /
+    duration.  The PCM "decode" reinterprets payload bytes as int8 samples
+    (deterministic stand-in; ``real`` would demux/resample with ffmpeg) —
+    the batch shape, schema, and downstream joins are the real contract."""
+    if real:
+        raise NotImplementedError(
+            "real audio decode requires ffmpeg/soundfile — not in this sandbox"
+        )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                pcm = np.frombuffer(r.payload, dtype=np.int8).astype(np.float64) / 128.0
+                zc = int(np.count_nonzero(np.diff(np.signbit(pcm))))
+                rows.append(
+                    (
+                        r.media_ref,
+                        pcm.size,
+                        float(np.sqrt(np.mean(pcm * pcm))) if pcm.size else 0.0,
+                        zc,
+                        pcm.size / float(sample_rate),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "n_samples", "rms", "zero_crossings", "duration_sec"],
+            )
+
+    return media.mapInPandas(feats, AUDIO_FEATURE_SCHEMA)
+
+
 def join_docs_with_media_features(
     spark: SparkSession, passthrough: DataFrame, seed: int = 42
 ) -> DataFrame:

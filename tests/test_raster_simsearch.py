@@ -212,3 +212,34 @@ def test_ivf_partition_pruning(spark, tmp_path):
     # pruned probe == in-memory probe results
     want = [r.vec_id for r in ivf_search(spark, assigned, centroids, qvec, k=5, n_probe=2).collect()]
     assert [r.vec_id for r in got.collect()] == want
+
+
+def test_multimodal_resize_and_audio(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osm_cut_spark.operators.multimodal import (
+        audio_features,
+        resize_image,
+        synthetic_media,
+    )
+
+    refs = spark.createDataFrame(
+        [(f"media://x/{i}",) for i in range(12)], "media_ref STRING"
+    )
+    media = synthetic_media(spark, refs)
+    small = resize_image(media, out_w=8, out_h=6).collect()
+    assert len(small) == 12
+    assert all(r.width == 8 and r.height == 6 and r.n_bytes == 48 for r in small)
+    # deterministic: same input -> same payload bytes
+    again = {r.media_ref: r.payload for r in resize_image(media, out_w=8, out_h=6).collect()}
+    assert all(again[r.media_ref] == r.payload for r in small)
+
+    af = audio_features(media).collect()
+    assert len(af) == 12
+    assert all(0.0 <= r.rms <= 1.0 and r.n_samples == 256 for r in af)
+
+    with pytest.raises(NotImplementedError):
+        resize_image(media, real=True)
+    with pytest.raises(NotImplementedError):
+        audio_features(media, real=True)
