@@ -73,14 +73,15 @@ def run_once(spark, sf_dir: str) -> dict:
     # warm the JVM/Arrow paths once with a tiny slice
     docs.limit(10).count()
 
-    def run_extract(complete: bool, out: str):
-        res = extract(spark, docs, poly, complete=complete)
+    def run_extract(complete: bool, out: str, grouped: bool = False):
+        res = extract(spark, docs, poly, complete=complete, doc_grouped_output=grouped)
         noop(res.elements() if out == "elements" else res.documents())
         res.release()  # drop selection caches between runs (no accumulation)
 
     timed("extract_complete", lambda: run_extract(True, "elements"))
     timed("extract_noncomplete", lambda: run_extract(False, "elements"))
     timed("extract_documents_out", lambda: run_extract(False, "documents"))
+    timed("extract_documents_out_grouped", lambda: run_extract(False, "documents", True))
 
     qs = entry.queries()
     for name in [

@@ -133,6 +133,22 @@ def test_cut_job_cli_positional_xml(spark, tmp_path):
     assert way["nds"] == [1, 2, 3, 4, 1]
 
 
+def test_cut_job_doc_grouped_matches(spark, tmp_path):
+    from osm_cut_spark import cut_job
+
+    out_a = tmp_path / "a"
+    out_b = tmp_path / "b"
+    base = ["--docs", FIXTURE_OSM, "--poly", FIXTURE_POLY, "--complete",
+            "--format", "parquet", "--elements-per-doc", "3"]
+    cut_job.main(base + ["--out", str(out_a)])
+    cut_job.main(base + ["--out", str(out_b), "--doc-grouped"])
+    rows = lambda p: sorted(
+        (r.phase, r.kind, r.id, r.doc_id, r.offset, r.attrs_json)
+        for r in spark.read.parquet(str(p)).collect()
+    )
+    assert rows(out_b) == rows(out_a)
+
+
 def test_cut_job_resume_mode(spark, tmp_path):
     from osm_cut_spark import cut_job
 
