@@ -73,8 +73,10 @@ def _h64(x: str) -> str:
     return f"CAST('0x' || substr(md5({x}),1,15) AS BIGINT)"
 
 
-# word-3-gram shingles per document (same fallback shape as dedup.shingles)
-_SHINGLES3_SQL = r"""
+def _shingles3_sql(src: str = "documents") -> str:
+    """word-3-gram shingles per document (same fallback shape as
+    dedup.shingles); ``src`` must expose (doc_id, text)."""
+    return rf"""
     SELECT doc_id AS _id,
            CASE WHEN len(toks) >= 3
                 THEN list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -82,11 +84,14 @@ _SHINGLES3_SQL = r"""
                 ELSE [array_to_string(toks, ' ')] END AS sh
     FROM (SELECT doc_id,
                  list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
-          FROM documents)
+          FROM {src})
 """
 
 
-def _minhash_pairs_sql(n_perm=16, bands=8, threshold=0.3, max_bucket=1000) -> str:
+_SHINGLES3_SQL = _shingles3_sql()
+
+
+def _minhash_pairs_sql(n_perm=16, bands=8, threshold=0.3, max_bucket=1000, src="documents") -> str:
     """Full LSH replay: 31-bit base hash (md5-derived) -> arithmetic
     multiply-add permutations (same constants as dedup._perm_consts,
     masked so checked int64 math cannot overflow) -> band buckets ->
@@ -100,7 +105,7 @@ def _minhash_pairs_sql(n_perm=16, bands=8, threshold=0.3, max_bucket=1000) -> st
     )
     bucket = _h64(f"b || ':' || array_to_string(sig[b*{rpb}+1:b*{rpb}+{rpb}], ',')")
     return f"""
-        WITH s AS ({_SHINGLES3_SQL}),
+        WITH s AS ({_shingles3_sql(src)}),
         hs AS (SELECT _id, list_transform(sh, s -> ({_h64('s')} & {MASK31})) AS hs FROM s),
         sig AS (SELECT _id, [{perm_mins}] AS sig FROM hs),
         banded AS (SELECT _id, unnest([{bucket} for b in range({bands})]) AS bucket FROM sig),
@@ -365,6 +370,82 @@ def q_lang_family(spark, sf_dir):
     return lang_id(_t(spark, sf_dir, "documents"))
 
 
+def q_clean_corpus(spark, sf_dir):
+    """Composed pretraining cleanup: lang filter -> quality floor -> exact
+    dedup survivor -> near-dup cluster representative.  Every stage is
+    individually oracled; this query proves the COMPOSITION replays."""
+    from osm_cut_spark.operators.corpus import clean_corpus
+
+    return clean_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_quality=40,
+        lang_families=("latin",),
+        jaccard_threshold=0.3,
+        n_perm=16,
+        bands=8,
+        replayable=True,
+    )
+
+
+def _clean_corpus_sql(min_quality=40, threshold=0.3, n_perm=16, bands=8) -> str:
+    """One-statement replay of the whole cleanup chain (quality + lang
+    shapes identical to the quality_score / lang_family oracles)."""
+    return f"""
+        WITH RECURSIVE qf AS (
+            SELECT doc_id,
+                   CAST(floor(least(n_tokens, 200) / 4
+                        + (CASE WHEN n_tokens > 0 THEN (n_stopwords * 100) / n_tokens ELSE 0 END) / 4
+                        + (CASE WHEN n_chars > 0 THEN (n_alpha * 25) / n_chars ELSE 0 END)) AS INT)
+                       AS quality
+            FROM (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       len(list_filter(toks, t -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is','it',
+                            'that','for','on','as','with','at','by','from','this','be'], t)))
+                           AS n_stopwords,
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                       length(text) AS n_chars
+                FROM (SELECT doc_id, text,
+                             list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+                      FROM documents))
+        ),
+        lf AS (
+            SELECT doc_id,
+                   CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk AND n_latin > 0 THEN 'latin'
+                        WHEN n_cyrillic > n_latin AND n_cyrillic >= n_cjk THEN 'cyrillic'
+                        WHEN n_cjk > 0 THEN 'cjk'
+                        ELSE 'unknown' END AS lang_family
+            FROM (SELECT doc_id,
+                         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_latin,
+                         length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS n_cyrillic,
+                         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk
+                  FROM documents)
+        ),
+        base AS (
+            SELECT d.doc_id, d.text, lf.lang_family, qf.quality
+            FROM documents d
+            JOIN qf ON qf.doc_id = d.doc_id
+            JOIN lf ON lf.doc_id = d.doc_id
+            WHERE lf.lang_family IN ('latin') AND qf.quality >= {min_quality}
+        ),
+        ex AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+        s0 AS (SELECT b.* FROM base b JOIN ex USING (doc_id)),
+        p AS (SELECT * FROM ({_minhash_pairs_sql(n_perm, bands, threshold, src="s0")}) mp),
+        und AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        reach(src, dst) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+        ),
+        dropped AS (
+            SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) != src
+        )
+        SELECT doc_id, lang_family, quality FROM s0
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
 def q_fingerprint(spark, sf_dir):
     """Text analysis: winnowing-style window fingerprint on the replayable
     hash; window hashes serialized to one canonical string column so the
@@ -524,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_family": q_lang_family,
         "fingerprint": q_fingerprint,
+        "clean_corpus": q_clean_corpus,
         "raster_vector_join": q_raster_vector_join,
         "sessionize": q_sessionize,
         "minhash_pairs": q_minhash_pairs,
@@ -707,6 +789,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unknown' END AS lang_family
             FROM c
         """,
+        "clean_corpus": _clean_corpus_sql(),
         "fingerprint": f"""
             SELECT doc_id,
                    {_h64('text')} AS full_hash,

@@ -173,3 +173,22 @@ def test_minhash_plan_shape(spark, docs):
     assert "Window" not in splan
     # single-scan groupBy pair expansion: the 63-bit-term simhash runs once
     assert splan.count("Scan parquet") == 1, splan.count("Scan parquet")
+
+
+def test_clean_corpus_chain(spark):
+    from osm_cut_spark.operators.corpus import clean_corpus
+
+    good = "the quick brown fox jumps over the lazy dog and runs to the old barn again"
+    near = good.replace("lazy", "sleepy")
+    rows = [
+        (1, good),                      # survives (representative of {1,2,4})
+        (2, good),                      # exact dup of 1 -> dropped
+        (4, near),                      # near dup of 1 -> dropped
+        (3, "привет мир " * 10),  # cyrillic -> lang filter drops
+        (5, "!!! ??? 123 ,,, ..."),      # zero alpha/stopwords -> quality 1 -> dropped
+        (6, "an entirely different story about mountains rivers and the sea beyond them all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id for r in clean_corpus(df, min_quality=10, jaccard_threshold=0.3,
+                                          n_perm=16, bands=8).collect()}
+    assert got == {1, 6}
