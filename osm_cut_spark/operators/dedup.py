@@ -401,6 +401,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 32,
+    strict: bool = True,
 ) -> DataFrame:
     """Resolve near-dup pairs into clusters: (doc_id, cluster_id) for every
     id that appears in ``pairs``, cluster_id = MIN id of the connected
@@ -414,6 +415,11 @@ def dup_clusters(
     chains).  Each round is one equi-join + groupBy on the (small) edge
     set; per-round frames are persisted and released on convergence, and
     lineage is truncated every 8 rounds.
+
+    ``strict=True`` (default) raises if labels have not converged after
+    ``max_iters`` rounds (a component with diameter > max_iters would
+    otherwise return silently-partial clusters); pass strict=False to
+    accept the partial labeling for pathological chain graphs.
     """
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     und = (
@@ -450,6 +456,13 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        if strict and changed != 0:
+            und.unpersist()
+            raise RuntimeError(
+                f"dup_clusters did not converge in {max_iters} rounds "
+                f"({changed} labels still moving); raise max_iters or pass strict=False"
+            )
     und.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 

@@ -192,3 +192,18 @@ def test_clean_corpus_chain(spark):
     got = {r.doc_id for r in clean_corpus(df, min_quality=10, jaccard_threshold=0.3,
                                           n_perm=16, bands=8).collect()}
     assert got == {1, 6}
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    import pytest
+    from osm_cut_spark.operators.dedup import dup_clusters
+
+    # a 6-hop chain cannot converge in 2 rounds of one-hop propagation
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a LONG, id_b LONG"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, max_iters=2)
+    # non-strict mode returns the partial labeling instead
+    got = dup_clusters(chain, max_iters=2, strict=False).collect()
+    assert len(got) == 8
