@@ -64,11 +64,20 @@ def run_once(spark, sf_dir: str) -> dict:
         df.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    # min-of-N warm in-JVM reps per query: rep0 pays JIT/codegen/Python-
+    # worker warmup on this noisy host (documented 3.5x single-shot
+    # variance — see .claude/skills/verify/SKILL.md), so it is timed but
+    # excluded; the recorded number is the min of the warm reps, the same
+    # discipline flagship_main already uses.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(reps + 1):  # +1 throwaway warmup rep
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        timings[name] = round(min(times[1:]), 3)
 
     # warm the JVM/Arrow paths once with a tiny slice
     docs.limit(10).count()
