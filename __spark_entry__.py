@@ -186,16 +186,22 @@ def _lsh_ann_sql(dim=64, n_planes=64, n_bands=16, seed=42, k=10) -> str:
     """
 
 
-def _cosine_dup_sql(threshold=0.4, dim=64, n_planes=32, n_bands=16, seed=42) -> str:
+def _cosine_dup_sql(threshold=0.4, dim=64, n_planes=32, n_bands=16, seed=42,
+                    max_bucket=100_000) -> str:
     """Embedding-cosine near-dup replay: same banded-candidate semantics as
-    the operator (pairs sharing >=1 band key), exact cosine verify."""
+    the operator (pairs sharing >=1 band key, buckets over ``max_bucket``
+    dropped — the SAME cap the operator applies, so they agree by
+    construction even on degenerate data), exact cosine verify."""
     keys = _lsh_keys_fn(dim, n_planes, n_bands, seed)
     return f"""
         WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         bk AS (SELECT vec_id, {keys('v')} AS keys FROM base),
         banded AS (SELECT vec_id, unnest(keys) AS key FROM bk),
+        big AS (SELECT key FROM banded GROUP BY key HAVING count(*) > {max_bucket}),
+        capped AS (SELECT vec_id, key FROM banded
+                   WHERE key NOT IN (SELECT key FROM big)),
         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                 FROM banded a JOIN banded b USING (key) WHERE a.vec_id < b.vec_id)
+                 FROM capped a JOIN capped b USING (key) WHERE a.vec_id < b.vec_id)
         SELECT c.id_a, c.id_b
         FROM cand c JOIN base a ON a.vec_id = c.id_a JOIN base b ON b.vec_id = c.id_b
         WHERE list_dot_product(a.v, b.v)

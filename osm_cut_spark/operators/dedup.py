@@ -24,9 +24,12 @@ Scale notes (physical plan, round-2 shape):
 * the band explode and bucket self-join carry ONLY ``(_id, bucket)`` —
   shingle arrays never enter a shuffle; candidates are re-joined to the
   slim ``(id, sh)`` projection once for the exact-Jaccard verify;
-* degenerate buckets (all-equal corpora) are dropped via a tiny
-  ``groupBy.count`` + broadcast anti-join (no window shuffle), bounding
-  the quadratic pair expansion at ``max_bucket``;
+* ``minhash_lsh_pairs`` SILENTLY drops buckets larger than ``max_bucket``
+  (a size filter on the grouped ids — an explicit approximation knob that
+  bounds the quadratic pair expansion at C(max_bucket, 2); the DuckDB
+  oracle replays the same HAVING-count cap, so operator and oracle agree
+  by construction).  ``simhash_dup_pairs`` instead collapses identical
+  hashes first and stays EXACT by default (see its docstring);
 * ``ngram_jaccard_pairs`` blocks on geometric size bands (a pair can only
   reach Jaccard >= t when the shingle-set sizes are within a factor 1/t),
   so the exact operator never plans a cartesian product.
@@ -339,11 +342,22 @@ def simhash_dup_pairs(
     max_hamming: int = 3,
     n_blocks: int | None = None,
     replayable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on ``max_hamming + 1`` bit chunks
     (pigeonhole: any pair with hamming <= max_hamming shares at least one
     chunk — so the blocked result EQUALS the all-pairs hamming filter),
-    verify hamming exactly.  Returns (id_a, id_b, hamming)."""
+    verify hamming exactly.  Returns (id_a, id_b, hamming).
+
+    Degenerate-corpus safety: docs with IDENTICAL simhashes are collapsed
+    to one (sh, ids) group per bucket before pair expansion, so a
+    boilerplate corpus of n near-identical docs costs O(distinct hashes^2)
+    bit_counts — not O(n^2) — and the (inherently quadratic-sized) hamming-0
+    output expands once globally, from block 0 only.  ``max_bucket``
+    (optional) additionally drops buckets with more DISTINCT hashes than
+    the cap — an explicit approximation knob for adversarial skew; the
+    default None keeps the operator exact (== the all-pairs oracle).
+    """
     n_bits = 60 if replayable else 63
     if n_blocks is None:
         n_blocks = max_hamming + 1
@@ -367,30 +381,42 @@ def simhash_dup_pairs(
             )
         ).alias("c"),
     ).select("_id", "sh", F.col("c.blk").alias("blk"), F.col("c.key").alias("key"))
-    # single-scan pair generation: groupBy block key + in-bucket combination
-    # expansion with the hamming predicate INSIDE the array expression (a
-    # self-join would recompute the 63-bit-term simhash scan twice, and the
-    # narrow per-block keys collide often — filtering before any shuffle
-    # keeps the candidate stream at near-dup size).  Degenerate buckets
-    # (identical-text corpora) cost O(n^2) bit_counts in one task but only
-    # O(matches) memory; salt such corpora through exact_dedup first.
+    # single-scan pair generation: collapse identical hashes per bucket
+    # (groupBy blk/key/sh), then per bucket expand
+    #   * within-group pairs (hamming 0) from block 0 ONLY — identical
+    #     hashes share every chunk, so block 0 alone emits each exactly once;
+    #   * cross-group pairs with the hamming predicate INSIDE the array
+    #     expression, so the candidate stream stays near-dup-sized before
+    #     any shuffle (a self-join would also recompute the bit-term scan).
+    bysh = chunks.groupBy("blk", "key", "sh").agg(F.collect_list("_id").alias("ids"))
     grouped = (
-        chunks.groupBy("blk", "key")
-        .agg(F.collect_list(F.struct("_id", "sh")).alias("xs"))
-        .filter(F.size("xs") >= 2)
+        bysh.groupBy("blk", "key")
+        .agg(F.collect_list(F.struct("sh", "ids")).alias("xs"))
+        .filter(
+            (F.size("xs") >= 2)
+            | ((F.col("blk") == 0) & F.expr("exists(xs, x -> size(x.ids) >= 2)"))
+        )
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("xs") <= int(max_bucket))
+    within = (
+        "CASE WHEN blk = 0 THEN flatten(transform(xs, x ->"
+        " flatten(transform(x.ids, (a, j) ->"
+        "   transform(slice(x.ids, j + 2, size(x.ids)),"
+        "     b -> struct(least(a, b) AS id_a, greatest(a, b) AS id_b,"
+        "                 0 AS hamming))))))"
+        " ELSE array() END"
+    )
+    cross = (
+        "flatten(transform(xs, (x, i) ->"
+        " flatten(transform("
+        f"  filter(slice(xs, i + 2, size(xs)), y -> bit_count(x.sh ^ y.sh) <= {int(max_hamming)}),"
+        "   y -> flatten(transform(x.ids, a -> transform(y.ids,"
+        "     b -> struct(least(a, b) AS id_a, greatest(a, b) AS id_b,"
+        "                 bit_count(x.sh ^ y.sh) AS hamming))))))))"
     )
     return (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(xs, (a, i) ->"
-                    " transform("
-                    f"   filter(slice(xs, i + 2, size(xs)), b -> bit_count(a.sh ^ b.sh) <= {int(max_hamming)}),"
-                    "   b -> struct(least(a._id, b._id) AS id_a, greatest(a._id, b._id) AS id_b,"
-                    "               bit_count(a.sh ^ b.sh) AS hamming))))"
-                )
-            ).alias("p")
-        )
+        grouped.select(F.explode(F.expr(f"concat(({within}), ({cross}))")).alias("p"))
         .select("p.id_a", "p.id_b", "p.hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -421,6 +447,8 @@ def dup_clusters(
     otherwise return silently-partial clusters); pass strict=False to
     accept the partial labeling for pathological chain graphs.
     """
+    if max_iters < 1:
+        raise ValueError("max_iters must be >= 1")
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     und = (
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -457,7 +485,8 @@ def dup_clusters(
         if changed == 0:
             break
     else:
-        if strict and changed != 0:
+        # the loop only falls through when the last round still moved labels
+        if strict:
             und.unpersist()
             raise RuntimeError(
                 f"dup_clusters did not converge in {max_iters} rounds "

@@ -832,10 +832,17 @@ def finish_extract(
         # layout) docs table the wide side needs NO exchange at all; only
         # the slim key map shuffles.  The element explode + child filter
         # run as narrow JVM ops after the join.
+        # array_distinct collapses byte-identical duplicate selections (a
+        # caller feeding finish_extract non-distinct frames) inside the one
+        # groupBy — no extra exchange; CONFLICTING duplicates (same offset,
+        # different phase/kept payload) still fail map_from_entries, which
+        # is correct: the selection would be ambiguous.
         sel_doc = sel_keys.groupBy("doc_id").agg(
             F.map_from_entries(
-                F.collect_list(
-                    F.struct(F.col("offset"), F.struct("phase", "kept_nds", "kept_m"))
+                F.array_distinct(
+                    F.collect_list(
+                        F.struct(F.col("offset"), F.struct("phase", "kept_nds", "kept_m"))
+                    )
                 )
             ).alias("_selmap")
         )

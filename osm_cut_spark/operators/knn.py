@@ -27,6 +27,15 @@ from pyspark.sql.types import ArrayType, LongType
 from osm_cut_spark.functions.cells import cell_disk, lonlat_to_cell, lonlat_to_grid, xy_to_cell
 
 
+
+def const_partition(col_name: str):
+    """Non-foldable always-zero partition key for post-limit(k) rank
+    windows: the frame is <= k rows, so single-partition evaluation is the
+    plan we WANT — but an EMPTY partition spec makes WindowExec warn on
+    every run, and literal keys get constant-folded back to empty, so
+    partition on a per-row expression that always evaluates to zero."""
+    return F.pmod(F.xxhash64(col_name), F.lit(1))
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -54,7 +63,7 @@ def knn_bruteforce(
     Returns (rank, <id_col>, sim). The global top-k is a TakeOrdered (no
     full sort materialization) — scales to any table size.
     """
-    w = Window.orderBy(F.desc("sim"), F.col(id_col))
+    w = Window.partitionBy(const_partition(id_col)).orderBy(F.desc("sim"), F.col(id_col))
     return (
         embeddings.select(F.col(id_col), cosine_sim(vec_col, query_vec))
         .orderBy(F.desc("sim"), F.col(id_col))
@@ -99,7 +108,7 @@ def knn_points(
     dist = F.sqrt(
         (F.col("lon") - F.lit(query_lon)) ** 2 + (F.col("lat") - F.lit(query_lat)) ** 2
     ).alias("dist")
-    w = Window.orderBy(F.asc("dist"), F.col(id_col))
+    w = Window.partitionBy(const_partition(id_col)).orderBy(F.asc("dist"), F.col(id_col))
     return (
         cand.select(F.col(id_col), "lon", "lat", dist)
         .orderBy(F.asc("dist"), F.col(id_col))

@@ -44,14 +44,22 @@ def salted_join(
     hot_threshold: int = 100_000,
     salt_target: int = 50_000,
     how: str = "inner",
+    row_id: str | None = None,
 ) -> DataFrame:
     """Equi join with explicit hot-key salting.
 
-    ``big`` is the skewed side (salt derived from a per-row content hash —
-    deterministic across task retries, unlike a partition-local row id);
-    ``small`` is replicated per salt.  Keys with big-side counts under
-    ``hot_threshold`` keep salt 0 (no replication).  Returns the joined
-    frame (salt columns dropped).
+    ``big`` is the skewed side; ``small`` is replicated per salt.  Keys
+    with big-side counts under ``hot_threshold`` keep salt 0 (no
+    replication).  Returns the joined frame (salt columns dropped).
+
+    The salt must be deterministic across task retries (a partition-local
+    row id is not), so it is a hash of row content: pass ``row_id`` — a
+    column that distinguishes rows sharing a hot key — when one exists
+    (hashing one column is also cheaper than hashing the whole row).
+    Without ``row_id`` the salt hashes ALL big-side columns, which means
+    byte-identical duplicate rows land on the SAME salt: on a
+    duplicate-heavy corpus the mitigation degrades toward no-op —
+    deduplicate first or provide a ``row_id``.
 
     Only ``inner``/``left`` joins are supported: replicating the small
     side would emit unmatched small-side rows once per salt under
@@ -70,12 +78,18 @@ def salted_join(
     # hot map is tiny by construction (few dense metro cells) -> broadcast
     hot_b = F.broadcast(hot)
 
+    ident = [F.col(row_id)] if row_id else [F.col(c) for c in big.columns]
     big_s = (
         big.join(hot_b, key, "left")
         .withColumn("n_salt", F.coalesce(F.col("n_salt"), F.lit(1)))
         .withColumn(
             "_salt",
-            F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.col("n_salt")).cast("int"),
+            # rows on non-hot keys (n_salt 1) skip the row hash entirely
+            F.when(
+                F.col("n_salt") > 1, F.pmod(F.xxhash64(*ident), F.col("n_salt"))
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
         )
         .drop("n_salt")
     )
@@ -103,7 +117,9 @@ def raster_vector_join(
     downstream as needed.  Skew-safe via salted_join.
     """
     cov = way_cell_coverage(spark, ways, nodes, res)
-    return salted_join(cov, tiles, "cell_id", hot_threshold=hot_threshold)
+    # (way_id, cell_id) rows are distinct, so way_id disambiguates within
+    # any hot cell
+    return salted_join(cov, tiles, "cell_id", hot_threshold=hot_threshold, row_id="way_id")
 
 
 def synthetic_tiles(

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
-from osm_cut_spark.operators.knn import cosine_sim
+from osm_cut_spark.operators.knn import const_partition, cosine_sim
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -128,7 +128,7 @@ def lsh_ann(
         for b in range(n_bands)
     ]
     cand = indexed.filter(F.arrays_overlap(F.col("_buckets"), F.array(*[F.lit(q) for q in qkeys])))
-    w = Window.orderBy(F.desc("sim"), F.col(id_col))
+    w = Window.partitionBy(const_partition(id_col)).orderBy(F.desc("sim"), F.col(id_col))
     return (
         cand.select(F.col(id_col), cosine_sim(vec_col, query_vec))
         .orderBy(F.desc("sim"), F.col(id_col))
@@ -169,6 +169,11 @@ def cosine_dup_pairs(
     the slim shape: the bucket groupBy carries only (id, key); vectors
     re-enter via two joins on the (small) candidate set.  ``exact_jvm``
     computes bucket keys with sequential JVM folds (DuckDB-replayable).
+
+    Buckets larger than ``max_bucket`` are DROPPED — an explicit
+    approximation knob bounding the in-bucket pair expansion; any oracle
+    replay must apply the same HAVING-count cap (the entry-contract
+    DuckDB SQL does) or the two sides diverge on degenerate data.
     """
     if dim is None:
         dim = len(embeddings.select(vec_col).head()[0])
@@ -268,7 +273,7 @@ def ivf_search(
     order = np.argsort(-(centroids @ q))
     probe = [int(i) for i in order[:n_probe]]
     cand = assigned.filter(F.col("_list").isin(probe))
-    w = Window.orderBy(F.desc("sim"), F.col(id_col))
+    w = Window.partitionBy(const_partition(id_col)).orderBy(F.desc("sim"), F.col(id_col))
     return (
         cand.select(F.col(id_col), cosine_sim(vec_col, query_vec))
         .orderBy(F.desc("sim"), F.col(id_col))

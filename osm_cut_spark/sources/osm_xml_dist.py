@@ -48,33 +48,48 @@ _READ_BLOCK = 1 << 20
 _OVERLAP = 16  # covers the longest sync tag split across read blocks
 
 
-def _find_sync(f, pos: int, size: int) -> int:
-    """Offset of the first top-level element start at or after ``pos``
-    (== size when none)."""
+def _find_sync(f, pos: int, limit: int) -> int:
+    """Offset of the first top-level element start in [``pos``, ``limit``)
+    (== limit when none)."""
     f.seek(pos)
     base = pos
     carry = b""
-    while base < size:
+    while base < limit:
         block = f.read(_READ_BLOCK)
         if not block:
             break
         data = carry + block
         m = _SYNC_RE.search(data)
         if m:
-            return base - len(carry) + m.start()
+            found = base - len(carry) + m.start()
+            return found if found < limit else limit
         carry = data[-_OVERLAP:]
         base += len(block)
-    return size
+    return limit
 
 
-def parse_range(path: str, start: int, end: int) -> list:
-    """Canonical elements whose start byte lies in [start, end)."""
+def parse_range(path: str, start: int, end: int, max_element_bytes: int = 16 << 20) -> list:
+    """Canonical elements whose start byte lies in [start, end).
+
+    The read past ``end`` (finishing the last owned element) is capped at
+    ``max_element_bytes``: a malformed file with no sync point near the
+    range boundary fails fast with a clear error instead of one task
+    silently buffering to the end of the file.
+    """
     size = os.path.getsize(path)
     with open(path, "rb") as f:
         first = _find_sync(f, start, size)
         if first >= end or first >= size:
             return []
-        stop = _find_sync(f, end, size)
+        cap = min(size, end + max_element_bytes)
+        stop = _find_sync(f, end, cap)
+        if stop == cap and cap < size:
+            raise ValueError(
+                f"no top-level element start within {max_element_bytes} bytes "
+                f"past range end {end} of {path!r}: element oversized or file "
+                "malformed (raise max_element_bytes only if elements really "
+                "are this large)"
+            )
         f.seek(first)
         raw = f.read(stop - first)
     # the final range carries the document tail; strip the closing root tag

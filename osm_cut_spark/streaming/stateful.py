@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -52,12 +53,19 @@ def sessionize_stream(
             n_sessions, n_events, last_ts = 0, 0, None
         batch = pd.concat(list(pdfs))
         if len(batch):
-            for ts in batch[ts_col].sort_values():
-                t = ts.timestamp()
-                if last_ts is None or t - last_ts > gap_seconds:
-                    n_sessions += 1
-                n_events += 1
-                last_ts = max(t, last_ts) if last_ts is not None else t
+            # vectorized transition over the sorted event times: a session
+            # starts where the gap to the effective previous time exceeds
+            # gap_seconds.  The effective previous time is max(carried
+            # last_ts, preceding event) — cross-batch late data (t <=
+            # carried last_ts) extends the current session, matching the
+            # documented ordering contract.
+            t = np.sort(batch[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)) / 1e9
+            prev = np.concatenate(([-np.inf if last_ts is None else last_ts], t[:-1]))
+            if last_ts is not None:
+                prev = np.maximum(prev, last_ts)
+            n_sessions += int(((t - prev) > gap_seconds).sum())
+            n_events += len(t)
+            last_ts = float(t[-1]) if last_ts is None else float(max(t[-1], last_ts))
             state.update((int(n_sessions), int(n_events), float(last_ts)))
         yield pd.DataFrame(
             {

@@ -207,3 +207,41 @@ def test_dup_clusters_nonconvergence_raises(spark):
     # non-strict mode returns the partial labeling instead
     got = dup_clusters(chain, max_iters=2, strict=False).collect()
     assert len(got) == 8
+
+
+def test_dup_clusters_rejects_zero_iters(spark):
+    import pytest
+    from osm_cut_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a LONG, id_b LONG")
+    with pytest.raises(ValueError, match="max_iters"):
+        dup_clusters(pairs, max_iters=0)
+
+
+def test_simhash_identical_corpus_bounded(spark):
+    """Degenerate boilerplate corpus: n identical docs must NOT pay O(n^2)
+    bit_count work — identical hashes collapse to one (sh, ids) group per
+    bucket, and the (inherently quadratic-SIZED) hamming-0 output expands
+    once globally, from block 0 only.  3000 identical docs -> C(3000,2)
+    exact pairs in bounded time (the pre-fix shape stalled here)."""
+    from osm_cut_spark.operators.dedup import simhash_dup_pairs
+
+    n = 3000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same boilerplate text repeated for every document " * 3).alias("text"),
+    )
+    assert simhash_dup_pairs(docs, max_hamming=3).count() == n * (n - 1) // 2
+
+
+def test_simhash_max_bucket_cap(spark):
+    """max_bucket bounds DISTINCT hashes per bucket: all-identical groups
+    (xs size 1) always survive; cross-hash buckets over the cap drop."""
+    from osm_cut_spark.operators.dedup import simhash_dup_pairs
+
+    base = " ".join(f"word{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base)], "doc_id LONG, text STRING"
+    )
+    got = {(r.id_a, r.id_b) for r in simhash_dup_pairs(df, max_hamming=3, max_bucket=1).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}

@@ -243,3 +243,20 @@ def test_multimodal_resize_and_audio(spark):
         resize_image(media, real=True)
     with pytest.raises(NotImplementedError):
         audio_features(media, real=True)
+
+
+def test_salted_join_row_id_identity(spark, geo):
+    """row_id salting (duplicate-row-safe identity) joins identically."""
+    from osm_cut_spark.operators.raster import salted_join, synthetic_tiles, way_cell_coverage
+
+    nodes, ways = geo
+    cov = way_cell_coverage(spark, ways, nodes, res=7)
+    tiles = synthetic_tiles(spark, res=7)
+    salted = salted_join(
+        cov, tiles.select("cell_id", "lon_min"), "cell_id",
+        hot_threshold=5, salt_target=3, row_id="way_id",
+    )
+    plain = cov.join(tiles.select("cell_id", "lon_min"), "cell_id")
+    assert sorted((r.cell_id, r.way_id) for r in salted.collect()) == sorted(
+        (r.cell_id, r.way_id) for r in plain.collect()
+    )
