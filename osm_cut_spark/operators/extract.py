@@ -293,12 +293,46 @@ def completion_nodes(
 # ---------------------------------------------------------------------------
 
 
-def _member_hits(relations: DataFrame, base_keys: DataFrame) -> DataFrame:
-    """Relation keys with >=1 member matching base_keys(kind, key_id)."""
-    mem = relations.select(
-        *_WAY_KEY, F.explode("members").alias("m")
-    ).select(*_WAY_KEY, F.col("m.type").alias("kind"), F.col("m.ref").alias("key_id"))
-    return mem.join(base_keys, ["kind", "key_id"], "left_semi").select(*_WAY_KEY).distinct()
+def _enc_key(kind_col, ref_col):
+    """(kind, id) membership key packed into ONE long: id*4 + kind code.
+
+    Every member/key join in the pipeline runs on this encoding — a single
+    8-byte join key instead of (string, long), which halves shuffle row
+    width, makes the hash probe one long compare, and makes the key set
+    broadcastable at 2x the row count for the same memory.  OSM ids are
+    < 2^60, so the *4 cannot overflow.
+    """
+    code = (
+        F.when(kind_col == "node", F.lit(0))
+        .when(kind_col == "way", F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    return ref_col * F.lit(4) + code
+
+
+def _member_hits(
+    relations: DataFrame, base_keys: DataFrame, broadcast_keys: bool = False
+) -> DataFrame:
+    """Relation keys with >=1 member matching base_keys(kind, key_id).
+
+    ``base_keys`` only ever contains node/way kinds (base_key_df), so
+    relation-type members are pruned INSIDE the explode — they can never
+    match, and on real OSM graphs they are the members that make parent
+    relations huge.  ``broadcast_keys=True`` hints the (long-encoded) key
+    set onto the build side of a broadcast semi-join: the exploded member
+    stream (the big side — every member of every relation) then never
+    enters an exchange at all.  finish_extract sets the hint from the
+    measured key count; callers with key sets too large to broadcast leave
+    it False and fall back to the shuffle semi-join (AQE-skew-guarded).
+    """
+    mem = (
+        relations.select(*_WAY_KEY, F.explode("members").alias("m"))
+        .filter(F.col("m.type").isin("node", "way"))
+        .select(*_WAY_KEY, _enc_key(F.col("m.type"), F.col("m.ref")).alias("k"))
+    )
+    keys = base_keys.select(_enc_key(F.col("kind"), F.col("key_id")).alias("k"))
+    keys = F.broadcast(keys) if broadcast_keys else keys
+    return mem.join(keys, "k", "left_semi").select(*_WAY_KEY).distinct()
 
 
 def base_key_df(
@@ -330,6 +364,7 @@ def relation_closure_complete(
     max_iters: int = 64,
     driver_max_edges: int = 2_000_000,
     caches: list | None = None,
+    broadcast_keys: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Complete-mode relation selection.
 
@@ -347,7 +382,7 @@ def relation_closure_complete(
     if caches is None:
         caches = []
     seeds = (
-        _member_hits(relations, base_keys)
+        _member_hits(relations, base_keys, broadcast_keys)
         .join(relations, _WAY_KEY)
         .select(F.col("id").alias("rid"))
         .distinct()
@@ -436,6 +471,7 @@ def select_relations_non_complete(
     max_iters: int = 64,
     driver_max_edges: int = 2_000_000,
     caches: list | None = None,
+    broadcast_keys: bool = False,
 ) -> DataFrame:
     """Non-complete relation selection: stream-order-dependent.
 
@@ -447,9 +483,9 @@ def select_relations_non_complete(
     spark = relations.sparkSession
     if caches is None:
         caches = []
-    direct = _member_hits(relations, base_keys).join(relations, _WAY_KEY).select(
-        "doc_id", "offset", F.col("id").alias("rid")
-    )
+    direct = _member_hits(relations, base_keys, broadcast_keys).join(
+        relations, _WAY_KEY
+    ).select("doc_id", "offset", F.col("id").alias("rid"))
     # relation->relation edges with the parent's stream order
     redges = (
         relations.select(
@@ -535,6 +571,89 @@ def select_relations_non_complete(
         frontier = earlier
     redges.unpersist()
     return seen
+
+
+def relation_outputs(
+    relations: DataFrame,
+    keys: DataFrame,
+    complete: bool,
+    caches: list | None = None,
+    broadcast_keys: bool = False,
+) -> DataFrame:
+    """Relation selection + member projection: (doc_id, offset, kept_m) for
+    every selected relation, given the node/way key set ``keys``.
+
+    complete: seeds + ancestor closure; seeds keep ALL member kinds in the
+    final set, closure-only relations keep only relation-type members
+    (osm_process_complete.erl:118-124, 184, 253-257).  non-complete:
+    stream-order selection; members kept as of the relation's position
+    (osm_process_non_complete.erl:95-105).  Shared by finish_extract and
+    the incremental streaming cut (which refreshes this per epoch over the
+    accumulated relation table).
+    """
+    _maybe_bcast = F.broadcast if broadcast_keys else (lambda df: df)
+    if complete:
+        selected_rel_ids, seed_ids = relation_closure_complete(
+            relations, keys, caches=caches, broadcast_keys=broadcast_keys
+        )
+        all_keys = keys.select(_enc_key(F.col("kind"), F.col("key_id")).alias("k")).unionByName(
+            selected_rel_ids.select((F.col("rid") * F.lit(4) + F.lit(2)).alias("k"))
+        )
+        seeds_marked = seed_ids.select(F.col("rid"), F.lit(True).alias("seed"))
+        rel_rows = (
+            relations.join(
+                selected_rel_ids, relations.id == selected_rel_ids.rid, "left_semi"
+            )
+            .join(seeds_marked, F.col("id") == seeds_marked.rid, "left")
+            .drop("rid")
+        )
+        mem = (
+            rel_rows.select("doc_id", "offset", "seed", F.explode("members").alias("m"))
+            .withColumn("k", _enc_key(F.col("m.type"), F.col("m.ref")))
+            .join(_maybe_bcast(all_keys), "k", "left_semi")
+        )
+        mem = mem.filter((F.col("seed").isNotNull()) | (F.col("m.type") == "relation"))
+        kept_members = mem.groupBy("doc_id", "offset").agg(
+            F.collect_set(F.struct(F.col("m.type").alias("type"), F.col("m.ref").alias("ref"))).alias(
+                "kept_m"
+            )
+        )
+        return rel_rows.select("doc_id", "offset").join(
+            kept_members, _WAY_KEY, "left"
+        ).withColumn("kept_m", F.coalesce(F.col("kept_m"), F.expr("array()")))
+
+    sel_rel = select_relations_non_complete(
+        relations, keys, caches=caches, broadcast_keys=broadcast_keys
+    )
+    rel_rows = relations.join(sel_rel.select("doc_id", "offset"), _WAY_KEY, "left_semi")
+    # members at processing time: nodes/ways in set + relations selected
+    # EARLIER in stream order (osm_process_non_complete.erl:95-105)
+    sel_rel_keys = sel_rel.select(
+        (F.col("rid") * F.lit(4) + F.lit(2)).alias("k"),
+        F.col("doc_id").alias("k_doc"),
+        F.col("offset").alias("k_off"),
+    )
+    nw_keys = keys.select(
+        _enc_key(F.col("kind"), F.col("key_id")).alias("k"),
+        F.lit(None).cast("string").alias("k_doc"),
+        F.lit(None).cast("int").alias("k_off"),
+    )
+    all_keys = nw_keys.unionByName(sel_rel_keys)
+    mem = (
+        rel_rows.select("doc_id", "offset", F.explode("members").alias("m"))
+        .withColumn("k", _enc_key(F.col("m.type"), F.col("m.ref")))
+        .join(_maybe_bcast(all_keys), "k", "inner")
+    )
+    mem = mem.filter(
+        F.col("k_doc").isNull()
+        | (F.col("k_doc") < F.col("doc_id"))
+        | ((F.col("k_doc") == F.col("doc_id")) & (F.col("k_off") < F.col("offset")))
+    )
+    return mem.groupBy("doc_id", "offset").agg(
+        F.collect_set(F.struct(F.col("m.type").alias("type"), F.col("m.ref").alias("ref"))).alias(
+            "kept_m"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -696,13 +815,21 @@ def finish_extract(
     assume_sorted: bool = True,
     caches: list | None = None,
     doc_grouped_output: bool = False,
+    broadcast_max_keys: int = 50_000_000,
 ) -> ExtractResult:
     """Completion + relation selection + output assembly over precomputed
     (narrow) node/way selections (also the resume path of
     plans/checkpoint.py).  ``docs`` is only consulted once at the end for
     the wide output join.  Every persist lands in ``caches`` (exposed on
     the result as ``ExtractResult.caches``; call ``release()`` after the
-    output action)."""
+    output action).
+
+    ``broadcast_max_keys``: selected-key sets up to this many rows are
+    broadcast into the relation member semi-joins (no shuffle of the
+    exploded member stream).  Keys are packed to ONE long each
+    (``_enc_key``), so 50M keys ≈ 400 MB raw / ~1 GB hashed — sized for
+    local mode and beefy executors; lower it on memory-tight clusters to
+    fall back to the shuffle semi-join on very large selections."""
     if caches is None:
         caches = []
     # persist the SMALL selected-key sets — each gates several joins
@@ -721,72 +848,17 @@ def finish_extract(
 
     keys = base_key_df(sel_node_ids, comp_ids, way_ids).persist()
     caches.append(keys)
+    # the selected-key set gates every relation semi-join; when it fits a
+    # broadcast (the overwhelmingly common case — selections are a fraction
+    # of the input), hint it so the exploded member streams (the big sides)
+    # never shuffle.  The count is one scan of already-persisted parts and
+    # eagerly fills the cache for the concurrent consumers below.
+    n_keys = keys.count()
+    bcast = n_keys <= broadcast_max_keys
 
-    if complete:
-        selected_rel_ids, seed_ids = relation_closure_complete(relations, keys, caches=caches)
-        all_keys = keys.unionByName(
-            selected_rel_ids.select(F.lit("relation").alias("kind"), F.col("rid").alias("key_id"))
-        )
-        seeds_marked = seed_ids.select(F.col("rid"), F.lit(True).alias("seed"))
-        rel_rows = (
-            relations.join(
-                selected_rel_ids, relations.id == selected_rel_ids.rid, "left_semi"
-            )
-            .join(seeds_marked, F.col("id") == seeds_marked.rid, "left")
-            .drop("rid")
-        )
-        # member projection: seeds filter ALL member kinds vs the final set;
-        # closure-only relations keep only relation-type members in the set
-        # (osm_process_complete.erl:118-124, 184, 253-257)
-        mem = rel_rows.select(
-            "doc_id", "offset", "seed", F.explode("members").alias("m")
-        ).join(
-            all_keys,
-            (F.col("m.type") == all_keys.kind) & (F.col("m.ref") == all_keys.key_id),
-            "left_semi",
-        )
-        mem = mem.filter((F.col("seed").isNotNull()) | (F.col("m.type") == "relation"))
-        kept_members = mem.groupBy("doc_id", "offset").agg(
-            F.collect_set(F.struct(F.col("m.type").alias("type"), F.col("m.ref").alias("ref"))).alias(
-                "kept_m"
-            )
-        )
-        rel_out = rel_rows.select("doc_id", "offset").join(kept_members, _WAY_KEY, "left").withColumn(
-            "kept_m", F.coalesce(F.col("kept_m"), F.expr("array()"))
-        )
-    else:
-        sel_rel = select_relations_non_complete(relations, keys, caches=caches)
-        rel_rows = relations.join(sel_rel.select("doc_id", "offset"), _WAY_KEY, "left_semi")
-        # members at processing time: nodes/ways in set + relations selected
-        # EARLIER in stream order (osm_process_non_complete.erl:95-105)
-        sel_rel_keys = sel_rel.select(
-            F.lit("relation").alias("kind"),
-            F.col("rid").alias("key_id"),
-            F.col("doc_id").alias("k_doc"),
-            F.col("offset").alias("k_off"),
-        )
-        nw_keys = keys.select(
-            "kind",
-            "key_id",
-            F.lit(None).cast("string").alias("k_doc"),
-            F.lit(None).cast("int").alias("k_off"),
-        )
-        all_keys = nw_keys.unionByName(sel_rel_keys)
-        mem = rel_rows.select("doc_id", "offset", F.explode("members").alias("m")).join(
-            all_keys,
-            (F.col("m.type") == all_keys.kind) & (F.col("m.ref") == all_keys.key_id),
-            "inner",
-        )
-        mem = mem.filter(
-            F.col("k_doc").isNull()
-            | (F.col("k_doc") < F.col("doc_id"))
-            | ((F.col("k_doc") == F.col("doc_id")) & (F.col("k_off") < F.col("offset")))
-        )
-        rel_out = mem.groupBy("doc_id", "offset").agg(
-            F.collect_set(F.struct(F.col("m.type").alias("type"), F.col("m.ref").alias("ref"))).alias(
-                "kept_m"
-            )
-        )
+    rel_out = relation_outputs(
+        relations, keys, complete, caches=caches, broadcast_keys=bcast
+    )
 
     # ---- late materialization: one wide pass joined to selected keys ----
     sel_keys = (
@@ -878,20 +950,19 @@ def finish_extract(
     )
 
 
-# child-span keep rule shared with _output_projection, expressed against a
-# selection struct s = element_at(_selmap, parent.offset): tags always kept;
-# nd refs filtered to kept_nds; members filtered to kept_m
-_KEEP_CHILD = """
-CASE WHEN c.kind = 'tag' THEN true
-     WHEN c.kind = 'nd' THEN element_at(_selmap, p.offset).kept_nds IS NOT NULL
-          AND array_contains(element_at(_selmap, p.offset).kept_nds,
-                             from_json(c.text, 'ref BIGINT').ref)
-     WHEN c.kind = 'member' THEN element_at(_selmap, p.offset).kept_m IS NOT NULL
-          AND exists(element_at(_selmap, p.offset).kept_m,
-                     k -> k.type = from_json(c.text, 'type STRING, ref BIGINT').type
-                      AND k.ref  = from_json(c.text, 'type STRING, ref BIGINT').ref)
-     ELSE false END
-"""
+# single projected parse per child span (the round-2 output-phase hot spot
+# re-ran from_json once per predicate — twice per member child, and inside
+# the exists() lambda once per kept member): bind (span, parsed ref/type)
+# structs FIRST, then filter on the parsed attributes.  Non-nd/member
+# spans skip the JSON parse entirely via the kind CASE.
+_PARSED_NDREF = (
+    "CASE WHEN {c}.kind = 'nd'"
+    " THEN from_json({c}.text, 'ref BIGINT').ref END"
+)
+_PARSED_MEMBER = (
+    "CASE WHEN {c}.kind = 'member'"
+    " THEN from_json({c}.text, 'type STRING, ref BIGINT') END"
+)
 
 
 def _documents_grouped(joined: DataFrame) -> DataFrame:
@@ -904,15 +975,41 @@ def _documents_grouped(joined: DataFrame) -> DataFrame:
     Node/completion-phase selections carry null kept_nds/kept_m, in which
     case their (tag-only) children pass the keep rule unchanged — the same
     `otherwise(child_spans)` semantics as the element-join projection.
+
+    Per-row bindings keep every expensive expression single-evaluation:
+    ``pspans`` parses each child span's ref/member JSON exactly once per
+    document, and ``psel`` resolves each parent's selection-map lookup
+    exactly once per parent (the round-2 shape re-parsed and re-probed
+    inside every child predicate).
+    """
+    pspans = f"""
+    transform(spans, c -> struct(
+        c AS s,
+        {_PARSED_NDREF.format(c='c')} AS ref,
+        {_PARSED_MEMBER.format(c='c')} AS pj))
+    """
+    psel = """
+    transform(parents, p -> struct(p AS p, element_at(_selmap, p.offset) AS sel))
+    """
+    keep_child = """
+    CASE WHEN x.s.kind = 'tag' THEN true
+         WHEN x.s.kind = 'nd' THEN e.sel.kept_nds IS NOT NULL
+              AND array_contains(e.sel.kept_nds, x.ref)
+         WHEN x.s.kind = 'member' THEN e.sel.kept_m IS NOT NULL
+              AND exists(e.sel.kept_m,
+                         k -> k.type = x.pj.type AND k.ref = x.pj.ref)
+         ELSE false END
     """
     kept_runs = f"""
-    flatten(transform(parents, (p, i) ->
-        CASE WHEN element_at(_selmap, p.offset) IS NOT NULL THEN
-            concat(array(p),
-                   filter(spans, c -> c.offset > p.offset
-                        AND (i = size(parents) - 1 OR c.offset < parents[i + 1].offset)
-                        AND c.kind IN ('nd', 'member', 'tag')
-                        AND ({_KEEP_CHILD})))
+    flatten(transform(psel, (e, i) ->
+        CASE WHEN e.sel IS NOT NULL THEN
+            concat(array(e.p),
+                   transform(
+                       filter(pspans, x -> x.s.offset > e.p.offset
+                            AND (i = size(parents) - 1 OR x.s.offset < parents[i + 1].offset)
+                            AND x.s.kind IN ('nd', 'member', 'tag')
+                            AND ({keep_child})),
+                       x -> x.s))
         ELSE array() END))
     """
     out_spans = f"""
@@ -925,6 +1022,8 @@ def _documents_grouped(joined: DataFrame) -> DataFrame:
     """
     return (
         joined.withColumn("parents", F.expr(ingest._PARENTS))
+        .withColumn("pspans", F.expr(pspans))
+        .withColumn("psel", F.expr(psel))
         .select("doc_id", F.expr(out_spans).alias("spans"))
         .filter(F.size("spans") > 0)
     )
@@ -933,7 +1032,26 @@ def _documents_grouped(joined: DataFrame) -> DataFrame:
 def _output_projection(el: DataFrame) -> DataFrame:
     """Final element rows from a frame carrying (phase, kind, attrs_json,
     doc_id, offset, child_spans, kept_nds, kept_m): child spans filtered to
-    kept refs, ORIGINAL span text re-emitted verbatim."""
+    kept refs, ORIGINAL span text re-emitted verbatim.  Each child span's
+    JSON is parsed at most ONCE (bound in a struct before the filter), not
+    once per predicate term."""
+    way_children = f"""
+    transform(
+        filter(
+            transform(child_spans, c -> struct(
+                c AS s, {_PARSED_NDREF.format(c='c')} AS ref)),
+            x -> x.s.kind != 'nd' OR array_contains(kept_nds, x.ref)),
+        x -> x.s)
+    """
+    rel_children = f"""
+    transform(
+        filter(
+            transform(child_spans, c -> struct(
+                c AS s, {_PARSED_MEMBER.format(c='c')} AS pj)),
+            x -> x.s.kind != 'member'
+                 OR exists(kept_m, k -> k.type = x.pj.type AND k.ref = x.pj.ref)),
+        x -> x.s)
+    """
     return el.select(
         "phase",
         "kind",
@@ -941,21 +1059,8 @@ def _output_projection(el: DataFrame) -> DataFrame:
         "doc_id",
         "offset",
         "attrs_json",
-        F.when(
-            F.col("phase") == PHASE_WAY,
-            F.expr(
-                "filter(child_spans, c -> c.kind != 'nd'"
-                " OR array_contains(kept_nds, from_json(c.text, 'ref BIGINT').ref))"
-            ),
-        )
-        .when(
-            F.col("phase") == PHASE_RELATION,
-            F.expr(
-                "filter(child_spans, c -> c.kind != 'member'"
-                " OR exists(kept_m, k -> k.type = from_json(c.text, 'type STRING, ref BIGINT').type"
-                "                    AND k.ref  = from_json(c.text, 'type STRING, ref BIGINT').ref))"
-            ),
-        )
+        F.when(F.col("phase") == PHASE_WAY, F.expr(way_children))
+        .when(F.col("phase") == PHASE_RELATION, F.expr(rel_children))
         .otherwise(F.col("child_spans"))
         .alias("out_child_spans"),
     )

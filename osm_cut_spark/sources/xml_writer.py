@@ -136,22 +136,28 @@ def element_xml_column() -> Column:
         attr("user", a.getField("user")),
     )
 
+    # each child span's JSON parses exactly once (bound in an inner
+    # transform), not once per rendered attribute
     child = F.expr(
         """
-        array_join(transform(out_child_spans, c ->
-          CASE c.kind
-            WHEN 'nd' THEN concat('    <nd ref="', from_json(c.text, 'ref BIGINT').ref, '"/>')
-            WHEN 'member' THEN concat('    <member type="',
-                 from_json(c.text, 'type STRING, ref BIGINT, role STRING').type,
-                 '" ref="', from_json(c.text, 'type STRING, ref BIGINT, role STRING').ref,
-                 '" role="', replace(replace(replace(replace(
-                     from_json(c.text, 'type STRING, ref BIGINT, role STRING').role,
+        array_join(transform(
+          transform(out_child_spans, c -> struct(
+            c.kind AS kind,
+            CASE WHEN c.kind = 'nd'
+                 THEN from_json(c.text, 'ref BIGINT').ref END AS nd_ref,
+            CASE WHEN c.kind = 'member'
+                 THEN from_json(c.text, 'type STRING, ref BIGINT, role STRING') END AS m,
+            CASE WHEN c.kind = 'tag'
+                 THEN from_json(c.text, 'k STRING, v STRING') END AS t)),
+          x -> CASE x.kind
+            WHEN 'nd' THEN concat('    <nd ref="', x.nd_ref, '"/>')
+            WHEN 'member' THEN concat('    <member type="', x.m.type,
+                 '" ref="', x.m.ref,
+                 '" role="', replace(replace(replace(replace(x.m.role,
                      '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '"/>')
-            WHEN 'tag' THEN concat('    <tag k="', replace(replace(replace(replace(
-                     from_json(c.text, 'k STRING, v STRING').k,
+            WHEN 'tag' THEN concat('    <tag k="', replace(replace(replace(replace(x.t.k,
                      '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'),
-                 '" v="', replace(replace(replace(replace(
-                     from_json(c.text, 'k STRING, v STRING').v,
+                 '" v="', replace(replace(replace(replace(x.t.v,
                      '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '"/>')
           END), '\n')
         """
@@ -170,13 +176,22 @@ def element_xml_column() -> Column:
     ).alias("xml")
 
 
-def write_xml(elements_out: DataFrame, path: str):
+def write_xml(elements_out: DataFrame, path: str, sharded: bool = False):
     """Distributed XML sink: render per-element XML, write ordered text.
 
     Order = (phase, doc_id, offset) like the reference's phase-ordered
     output (osm_process_complete.erl:60-64).  Header/footer lines are
-    added with rank sentinels so a single sorted text write produces a
+    added with rank sentinels so the sorted text write produces a
     well-formed document even across partitions.
+
+    ``sharded=False`` (escript parity — /root/reference/cut.escript:4-7
+    writes ONE file) funnels the sorted stream through one task: fine for
+    country cuts, a driver-side bottleneck at 100 TB.  ``sharded=True``
+    keeps the global range sort but writes one text file PER RANGE
+    PARTITION: part files are globally ordered by name (part-00000 holds
+    the lowest range), so ``cat part-*`` in filename order — or any
+    order-preserving downstream reader — reconstructs the identical
+    single-file document with no single-task funnel.
     """
     body = elements_out.select(
         F.col("phase"), F.col("doc_id"), F.col("offset"), element_xml_column()
@@ -189,11 +204,11 @@ def write_xml(elements_out: DataFrame, path: str):
     footer = spark.createDataFrame(
         [(999, "￿", 2**31 - 1, "</osm>")], "phase INT, doc_id STRING, offset INT, xml STRING"
     )
-    (
+    out = (
         header.unionByName(body).unionByName(footer)
         .orderBy("phase", "doc_id", "offset")
         .select("xml")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .text(path)
     )
+    if not sharded:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)

@@ -67,3 +67,19 @@ def test_distributed_xml_write_roundtrip(spark, tmp_path):
     assert by_key[("way", 1)]["nds"] == [1, 2, 3, 4, 1]  # document order kept
     assert by_key[("node", 3)]["tags"] == [("name", "Jam's Sandwich Bar"), ("amenity", "cafe")]
     assert by_key[("relation", 4)]["members"] == [("relation", 2, "")]
+
+
+def test_sharded_xml_write_concat_equals_single(spark, tmp_path):
+    """sharded=True writes globally-range-ordered part files: concatenated
+    in filename order they are byte-identical to the single-file mode."""
+    els = load_osm_xml(FIXTURE_OSM)
+    docs = doc_rows_to_spark(spark, elements_to_doc_rows(els, 2))
+    poly = compile_poly(FIXTURE_POLY)
+    result = extract(spark, docs, poly, complete=True, cover=polygon_cell_cover(poly))
+    single = tmp_path / "xml_single"
+    sharded = tmp_path / "xml_sharded"
+    write_xml(result.elements(), str(single))
+    write_xml(result.elements(), str(sharded), sharded=True)
+    one = b"".join(p.read_bytes() for p in sorted(Path(single).glob("part-*")))
+    many = b"".join(p.read_bytes() for p in sorted(Path(sharded).glob("part-*")))
+    assert many == one and one.startswith(b"<?xml")
