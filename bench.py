@@ -154,6 +154,8 @@ def main():
         return scaling_main()
     if "--flagship" in sys.argv:
         return flagship_main(sys.argv[sys.argv.index("--flagship") + 1])
+    if "--bucketed" in sys.argv:
+        return bucketed_main()
     from osm_cut_spark.session import get_session
 
     spark = get_session(app_name="osm_cut_bench", cpus=CPUS)
@@ -203,6 +205,69 @@ def flagship_main(docs_path: str):
                 "reps_sec": times,
                 "cpus": CPUS,
                 "n_docs": SCALING_DOCS,
+            }
+        )
+    )
+
+
+def bucketed_main():
+    """Measure the doc-grouped documents-out flagship on a doc_id-BUCKETED
+    docs table vs the same data unbucketed — the end-to-end wall for the
+    zero-wide-shuffle claim the plan test
+    (test_doc_grouped_output_bucketed_no_wide_shuffle) pins structurally.
+    The bucketed table build is one-time and excluded from the timings
+    (at a 100 TB deployment the table already lives bucketed)."""
+    from osm_cut_spark.functions.geometry import prepare_polygon, star_polygon
+    from osm_cut_spark.operators.extract import extract
+    from osm_cut_spark.session import get_session
+
+    path = _scaling_docs_path()
+    spark = get_session(
+        app_name="osm_cut_bucketed",
+        cpus=CPUS,
+        extra_conf={"spark.sql.warehouse.dir": str(CACHE_ROOT / "warehouse")},
+    )
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    poly = prepare_polygon([("include", star_polygon(STAR_VERTICES))])
+    tbl = f"osm_cut_docs_bucketed_{SCALING_DOCS}"
+    build = 0.0
+    if not spark.catalog.tableExists(tbl):
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(path)
+            .write.bucketBy(64, "doc_id")
+            .sortBy("doc_id")
+            .option("path", str(CACHE_ROOT / tbl))
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        build = round(time.perf_counter() - t0, 3)
+
+    def run(docs_df):
+        docs_df.limit(10).count()
+        times = []
+        for _ in range(reps + 1):  # +1 throwaway warmup rep
+            t0 = time.perf_counter()
+            res = extract(spark, docs_df, poly, complete=False, doc_grouped_output=True)
+            res.documents().write.format("noop").mode("overwrite").save()
+            res.release()
+            times.append(round(time.perf_counter() - t0, 3))
+        return times
+
+    tb = run(spark.table(tbl))
+    tu = run(spark.read.parquet(path))
+    print(
+        json.dumps(
+            {
+                "metric": "bucketed_docs_grouped_documents_out_wall",
+                "value": min(tb[1:]),
+                "unit": "sec",
+                "queries": {"bucketed_sec": min(tb[1:]), "unbucketed_sec": min(tu[1:])},
+                "reps": {"bucketed": tb, "unbucketed": tu},
+                "n_docs": SCALING_DOCS,
+                "cpus": CPUS,
+                "star_vertices": STAR_VERTICES,
+                "bucket_build_sec": build,
             }
         )
     )

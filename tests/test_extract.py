@@ -260,3 +260,26 @@ def test_no_selection_yields_empty(spark, fixture):
     result = _run(spark, els, far, polygon_cell_cover(far), complete=True)
     assert result.elements().count() == 0
     assert result.documents().count() == 0
+
+
+def test_member_semijoin_broadcasts_keys(spark, fixture):
+    """The relation member semi-joins must run as broadcast hash joins on
+    the packed long key when the selected-key set is under the broadcast
+    cap (the default): the exploded member stream then never enters an
+    exchange.  Wall-clock deltas are not resolvable on this host, so the
+    lever is pinned at the plan level."""
+    from osm_cut_spark.sources.docs import synthetic_docs_spark
+
+    _, poly, cover = fixture
+    docs = synthetic_docs_spark(spark, 40, seed=7)
+    for complete in (True, False):
+        res = extract(spark, docs, poly, complete=complete, cover=cover)
+        # the STATIC physical plan (pre-AQE): only the explicit hint puts a
+        # BroadcastHashJoin here — AQE runtime conversions would not,
+        # so this pins the hint itself
+        plan = res.elements()._jdf.queryExecution().sparkPlan().toString()
+        assert any(
+            "BroadcastHashJoin" in line and "LeftSemi" in line
+            for line in plan.splitlines()
+        ), plan[:3000]
+        res.release()
