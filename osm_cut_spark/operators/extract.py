@@ -300,12 +300,14 @@ def _enc_key(kind_col, ref_col):
     8-byte join key instead of (string, long), which halves shuffle row
     width, makes the hash probe one long compare, and makes the key set
     broadcastable at 2x the row count for the same memory.  OSM ids are
-    < 2^60, so the *4 cannot overflow.
+    < 2^60, so the *4 cannot overflow.  A kind outside node/way/relation
+    encodes to NULL, which an equi-join never matches — the same outcome
+    the old (string, long) comparison gave corrupt member types.
     """
     code = (
         F.when(kind_col == "node", F.lit(0))
         .when(kind_col == "way", F.lit(1))
-        .otherwise(F.lit(2))
+        .when(kind_col == "relation", F.lit(2))
     )
     return ref_col * F.lit(4) + code
 
@@ -571,6 +573,22 @@ def select_relations_non_complete(
         frontier = earlier
     redges.unpersist()
     return seen
+
+
+def broadcast_key_cap(spark: SparkSession, broadcast_max_keys: int) -> int:
+    """Memory-aware bound on how many packed-long keys may be broadcast.
+
+    A LongHashedRelation costs ~64 bytes/key built on the DRIVER before
+    shipping; a row-count-only threshold OOMs the broadcast build on small
+    heaps (observed: 15M keys fine in a 32g local driver, fatal in 8g).
+    Cap the broadcast at ~10% of the driver's max heap and let larger key
+    sets fall back to the shuffle semi-join.
+    """
+    try:
+        max_mem = int(spark.sparkContext._jvm.Runtime.getRuntime().maxMemory())
+        return min(broadcast_max_keys, int(max_mem * 0.1) // 64)
+    except Exception:
+        return broadcast_max_keys
 
 
 def relation_outputs(
@@ -854,7 +872,7 @@ def finish_extract(
     # never shuffle.  The count is one scan of already-persisted parts and
     # eagerly fills the cache for the concurrent consumers below.
     n_keys = keys.count()
-    bcast = n_keys <= broadcast_max_keys
+    bcast = n_keys <= broadcast_key_cap(spark, broadcast_max_keys)
 
     rel_out = relation_outputs(
         relations, keys, complete, caches=caches, broadcast_keys=bcast

@@ -203,7 +203,8 @@ def stream_extract_full(
                 rels_all,
                 keys,
                 complete,
-                broadcast_keys=n_keys <= broadcast_max_keys,
+                broadcast_keys=n_keys
+                <= X.broadcast_key_cap(spark, broadcast_max_keys),
             )
             refreshed = rel_out.join(
                 rels_all.select("doc_id", "offset", "id"), ["doc_id", "offset"]
