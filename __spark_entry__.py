@@ -582,6 +582,33 @@ def q_cosine_dup(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
+def q_sample(spark, sf_dir):
+    """Deterministic hash-of-id sampling (no RNG): the same corpus always
+    yields the same 30% sample; replayable on the md5-derived hash."""
+    from osm_cut_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(_t(spark, sf_dir, "documents"), keep_pct=30)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Stratified corpus balancing: downsample the latin family to 40%,
+    keep every other family — per-stratum hashed-id draws."""
+    from osm_cut_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_t(spark, sf_dir, "documents"), rates={"latin": 40})
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: token-offset binning into 512-token training
+    shards via the distributed prefix sum (range partition -> per-
+    partition totals -> in-partition window + offset); the oracle is the
+    equivalent single global window, which the operator must match at any
+    partition count."""
+    from osm_cut_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=512)
+
+
 def q_ivf_ann_fullprobe(spark, sf_dir):
     """Similarity search: IVF with full probe == exact top-k, so the exact
     cosine SQL is a valid oracle (proves the inverted-file path loses
@@ -621,6 +648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup": q_cosine_dup,
         "ivf_ann_fullprobe": q_ivf_ann_fullprobe,
         "simhash_pairs": q_simhash_pairs,
+        "sample": q_sample,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -819,6 +849,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT tx, ty, count(*) AS n_pts, CAST(sum(c_custkey) AS BIGINT) AS sum_keys
             FROM pts JOIN tiles USING (tx, ty)
             GROUP BY tx, ty
+        """,
+        "sample": f"""
+            SELECT doc_id FROM documents
+            WHERE {_h64("CAST(doc_id AS VARCHAR)")} % 100 < 30
+        """,
+        "stratified_sample": f"""
+            WITH c AS (
+                SELECT doc_id,
+                       CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk AND n_latin > 0 THEN 'latin'
+                            WHEN n_cyrillic > n_latin AND n_cyrillic >= n_cjk THEN 'cyrillic'
+                            WHEN n_cjk > 0 THEN 'cjk'
+                            ELSE 'unknown' END AS lang_family
+                FROM (SELECT doc_id,
+                             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_latin,
+                             length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS n_cyrillic,
+                             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk
+                      FROM documents)
+            )
+            SELECT d.doc_id, c.lang_family
+            FROM documents d JOIN c ON c.doc_id = d.doc_id
+            WHERE {_h64("CAST(d.doc_id AS VARCHAR)")} % 100
+                  < CASE WHEN c.lang_family = 'latin' THEN 40 ELSE 100 END
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                FROM t
+            )
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(floor(off / 512) AS BIGINT) AS bin
+            FROM c
         """,
         "sessionize": """
             WITH l AS (
