@@ -121,6 +121,72 @@ def _minhash_pairs_sql(n_perm=16, bands=8, threshold=0.3, max_bucket=1000, src="
     """
 
 
+def _minhash_join_sql(
+    n_perm=16, bands=8, threshold=0.3, max_pairs=1_000_000,
+    src_a="corpus", src_b="bench",
+) -> str:
+    """Two-sided LSH replay (contamination join): each side runs the same
+    hash->sig->bucket chain as _minhash_pairs_sql; candidates are A x B
+    pairs sharing a bucket, minus buckets whose candidate product exceeds
+    ``max_pairs`` (the operator's cap, replayed so both sides agree)."""
+    from osm_cut_spark.operators.dedup import MASK31, MASK61, _perm_consts
+
+    rpb = n_perm // bands
+    perm_mins = ", ".join(
+        f"list_min(list_transform(hs, h -> (CAST({a} AS BIGINT) * h + {b}) & {MASK61}))"
+        for a, b in (_perm_consts(p) for p in range(n_perm))
+    )
+    bucket = _h64(f"b || ':' || array_to_string(sig[b*{rpb}+1:b*{rpb}+{rpb}], ',')")
+
+    def side(tag: str, src: str) -> str:
+        return f"""
+        s{tag} AS ({_shingles3_sql(src)}),
+        h{tag} AS (SELECT _id, list_transform(sh, s -> ({_h64('s')} & {MASK31})) AS hs FROM s{tag}),
+        g{tag} AS (SELECT _id, [{perm_mins}] AS sig FROM h{tag}),
+        b{tag} AS (SELECT _id, unnest([{bucket} for b in range({bands})]) AS bucket FROM g{tag})"""
+
+    return f"""
+        WITH {side('a', src_a)}, {side('b', src_b)},
+        big AS (
+            SELECT ca.bucket FROM
+                (SELECT bucket, count(*) AS na FROM ba GROUP BY bucket) ca
+                JOIN (SELECT bucket, count(*) AS nb FROM bb GROUP BY bucket) cb
+                USING (bucket)
+            WHERE na * nb > {max_pairs}
+        ),
+        cand AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
+                 FROM ba a JOIN bb b USING (bucket)
+                 WHERE bucket NOT IN (SELECT bucket FROM big))
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN sa ON sa._id = c.id_a JOIN sb ON sb._id = c.id_b
+        WHERE len(list_intersect(sa.sh, sb.sh))
+              >= {threshold} * len(list_distinct(list_concat(sa.sh, sb.sh)))
+    """
+
+
+def _lsh_knn_join_sql(dim=64, n_planes=32, n_bands=16, seed=42, k=5) -> str:
+    """Batch-ANN replay: both sides' bucket keys with inlined planes
+    (sequential folds), candidates = pairs sharing a key, exact cosine,
+    per-query top-k."""
+    keys = _lsh_keys_fn(dim, n_planes, n_bands, seed)
+    return f"""
+        WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+        qk AS (SELECT qid, unnest({keys('qv')}) AS key FROM q),
+        dk AS (SELECT vec_id, unnest({keys('v')}) AS key FROM d),
+        cand AS (SELECT DISTINCT qk.qid, dk.vec_id FROM qk JOIN dk USING (key)),
+        sims AS (SELECT c.qid, c.vec_id,
+                        list_dot_product(d.v, q.qv)
+                        / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+                 FROM cand c JOIN d ON d.vec_id = c.vec_id JOIN q ON q.qid = c.qid)
+        SELECT qid, vec_id, CAST(rn AS INT) AS rn FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+            FROM sims)
+        WHERE rn <= {k}
+    """
+
+
 def _simhash_pairs_sql(max_hamming=6, n_bits=60) -> str:
     """SimHash replay: the engine's pigeonhole blocking is lossless, so the
     oracle is the equivalent all-pairs hamming filter on the same hashes."""
@@ -582,6 +648,39 @@ def q_cosine_dup(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: cross-corpus MinHash-LSH join between a
+    training split and a held-out split of the documents table (every hit
+    is a train/eval overlap to quarantine); full hash pipeline replayed
+    in DuckDB on the md5-derived hash."""
+    from osm_cut_spark.operators.dedup import minhash_lsh_join
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    return minhash_lsh_join(
+        corpus, bench, jaccard_threshold=0.3, n_perm=16, bands=8, replayable=True
+    ).select("id_a", "id_b")
+
+
+def q_lsh_knn_join(spark, sf_dir):
+    """Batch ANN join: 5 query vectors each retrieve top-5 neighbors among
+    LSH-bucket-sharing candidates (the many-query retrieval form of
+    lsh_ann); exact_jvm bucket keys replay in the oracle."""
+    from osm_cut_spark.operators.simsearch import lsh_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_knn_join(
+        spark,
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "qid"),
+        k=5,
+        n_planes=32,
+        n_bands=16,
+        exact_jvm=True,
+    )
+
+
 def q_sample(spark, sf_dir):
     """Deterministic hash-of-id sampling (no RNG): the same corpus always
     yields the same 30% sample; replayable on the md5-derived hash."""
@@ -651,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample": q_sample,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "contamination": q_contamination,
+        "lsh_knn_join": q_lsh_knn_join,
     }
 
 
@@ -850,6 +951,13 @@ def oracle_sql() -> dict[str, str]:
             FROM pts JOIN tiles USING (tx, ty)
             GROUP BY tx, ty
         """,
+        "contamination": f"""
+            WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+            bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+            joined AS (SELECT * FROM ({_minhash_join_sql()}) mj)
+            SELECT id_a, id_b FROM joined
+        """,
+        "lsh_knn_join": _lsh_knn_join_sql(),
         "sample": f"""
             SELECT doc_id FROM documents
             WHERE {_h64("CAST(doc_id AS VARCHAR)")} % 100 < 30

@@ -227,6 +227,73 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_join(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket_pairs: int = 1_000_000,
+    replayable: bool = False,
+) -> DataFrame:
+    """CROSS-corpus near-duplicate join: pairs (id_a ∈ A, id_b ∈ B) with
+    exact shingle Jaccard >= threshold, candidates from shared MinHash
+    band buckets — the benchmark-decontamination operator (A = training
+    corpus, B = evaluation set; every hit is a document to quarantine).
+
+    Same physical shape as ``minhash_lsh_pairs`` but two-sided: each side
+    computes shingles -> base hashes -> signature -> band buckets once;
+    the bucket join carries ONLY (id, bucket); buckets whose A×B
+    candidate product exceeds ``max_bucket_pairs`` are dropped (explicit
+    approximation knob — replay the same cap in any oracle); shingles
+    re-enter via two slim joins on the candidate set for the exact
+    verify.  Returns (id_a, id_b, i_size, u_size, jaccard).
+    """
+    rows_per_band = n_perm // bands
+
+    def prep(docs: DataFrame, out_id: str):
+        sh = docs.select(F.col(id_col).alias(out_id), shingles(shingle_n, text_col).alias("sh"))
+        hs = sh.select(out_id, base_hashes(F.col("sh"), replayable).alias("hs"))
+        sig = hs.select(out_id, minhash_sig_from_hashes(F.col("hs"), n_perm).alias("sig"))
+        banded = sig.select(
+            out_id,
+            F.explode(
+                band_buckets(F.col("sig"), bands, rows_per_band, replayable)
+            ).alias("bucket"),
+        )
+        return sh, banded
+
+    sh_a, banded_a = prep(docs_a, "id_a")
+    sh_b, banded_b = prep(docs_b, "id_b")
+    ga = banded_a.groupBy("bucket").agg(F.collect_list("id_a").alias("ia"))
+    gb = banded_b.groupBy("bucket").agg(F.collect_list("id_b").alias("ib"))
+    pairs = (
+        ga.join(gb, "bucket")
+        .filter(F.size("ia") * F.size("ib") <= F.lit(int(max_bucket_pairs)))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ia, a ->"
+                    " transform(ib, b -> struct(a AS id_a, b AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    i_size, u_size, pred = _jaccard_cols(jaccard_threshold)
+    return (
+        pairs.join(sh_a.withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh_b.withColumnRenamed("sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", i_size, u_size)
+        .filter(pred)
+        .withColumn("jaccard", F.col("i_size") / F.col("u_size"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -220,6 +220,74 @@ def cosine_dup_pairs(
     )
 
 
+def lsh_knn_join(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    q_id_col: str = "qid",
+    vec_col: str = "embedding",
+    exact_jvm: bool = False,
+    dim: int | None = None,
+) -> DataFrame:
+    """Batch ANN join: every query row gets its top-k data vectors by
+    exact cosine among candidates sharing >= 1 LSH band bucket — the
+    many-query retrieval form of ``lsh_ann`` (no per-query driver work;
+    the embedding analog of knn.knn_join).
+
+    One equi-join on the band bucket (both sides carry only (id, bucket)
+    — vectors re-enter via two slim joins on the candidate set), exact
+    cosine re-rank, per-query window top-k.  Returns (qid, vec_id, rn)
+    with rn in [1, k]; queries whose buckets hold fewer than k candidates
+    return fewer rows.  ``exact_jvm`` uses sequential-fold bucket keys so
+    the candidate set replays bit-for-bit in the DuckDB oracle.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).head()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def banded(df: DataFrame, src_id: str, out_id: str) -> DataFrame:
+        if exact_jvm:
+            keys = lsh_bucket_cols(planes, n_bands, F.col(vec_col))
+        else:
+            keys = make_lsh_udf(spark, dim, n_planes, n_bands, seed)(F.col(vec_col))
+        return df.select(F.col(src_id).alias(out_id), keys.alias("_keys")).select(
+            out_id, F.explode("_keys").alias("bucket")
+        )
+
+    cand = (
+        banded(queries, q_id_col, "_qid")
+        .join(banded(embeddings, id_col, "_did"), "bucket")
+        .select("_qid", "_did")
+        .dropDuplicates(["_qid", "_did"])
+    )
+    dv = embeddings.select(
+        F.col(id_col).alias("_did"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_dv"),
+    )
+    qv = queries.select(
+        F.col(q_id_col).alias("_qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    sim = (
+        _dot_cols(F.col("_dv"), F.col("_qv"))
+        / (F.sqrt(_dot_cols(F.col("_dv"), F.col("_dv"))) * F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv"))))
+    ).alias("sim")
+    w = Window.partitionBy("_qid").orderBy(F.desc("sim"), F.asc("_did"))
+    return (
+        cand.join(dv, "_did")
+        .join(qv, "_qid")
+        .select("_qid", "_did", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("_qid").alias(q_id_col), F.col("_did").alias(id_col), "rn")
+    )
+
+
 def ivf_build(
     spark: SparkSession,
     embeddings: DataFrame,

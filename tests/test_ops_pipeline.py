@@ -245,3 +245,27 @@ def test_simhash_max_bucket_cap(spark):
     )
     got = {(r.id_a, r.id_b) for r in simhash_dup_pairs(df, max_hamming=3, max_bucket=1).collect()}
     assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_minhash_lsh_join_cross_corpus(spark):
+    """Contamination join: hits only cross (corpus x benchmark) pairs."""
+    from osm_cut_spark.operators.dedup import minhash_lsh_join
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "tokX")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different short text here")],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(101, near), (102, "nothing in common with anything at all")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_join(corpus, bench, jaccard_threshold=0.3).collect()
+    }
+    assert (1, 101) in got
+    # ids always come from (corpus, bench) respectively — never within-side
+    assert all(a in (1, 2) and b in (101, 102) for a, b in got)
+    assert (2, 102) not in got

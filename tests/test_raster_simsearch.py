@@ -260,3 +260,25 @@ def test_salted_join_row_id_identity(spark, geo):
     assert sorted((r.cell_id, r.way_id) for r in salted.collect()) == sorted(
         (r.cell_id, r.way_id) for r in plain.collect()
     )
+
+
+def test_lsh_knn_join_matches_per_query_ann(spark):
+    """The batch ANN join returns, per query, exactly what the
+    single-query lsh_ann returns with the same planes/bands (same
+    candidate semantics: >= 1 shared band bucket, exact cosine rank)."""
+    from osm_cut_spark.operators.simsearch import lsh_ann, lsh_knn_join
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    data = emb.filter("vec_id >= 3")
+    queries = emb.filter("vec_id < 3").withColumnRenamed("vec_id", "qid")
+    joined = lsh_knn_join(spark, data, queries, k=4, n_planes=32, n_bands=16)
+    by_q = {}
+    for r in joined.collect():
+        by_q.setdefault(r.qid, []).append((r.rn, r.vec_id))
+    for r in queries.collect():
+        single = lsh_ann(
+            spark, data, [float(v) for v in r.embedding],
+            k=4, n_planes=32, n_bands=16,
+        )
+        want = [(x.rank, x.vec_id) for x in single.collect()]
+        assert sorted(by_q.get(r.qid, [])) == sorted(want), r.qid
