@@ -105,6 +105,9 @@ def run_once(spark, sf_dir: str) -> dict:
         "simhash_pairs",
         "token_stats",
         "raster_vector_join",
+        "pack_sequences",
+        "contamination",
+        "lsh_knn_join",
     ]:
         timed(name, lambda n=name: noop(qs[n](spark, sf_dir)))
 
