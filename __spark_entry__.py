@@ -663,6 +663,22 @@ def q_contamination(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Quarantine composition: corpus minus documents near-duplicating the
+    held-out split (anti-join over the contamination hits)."""
+    from osm_cut_spark.operators.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        jaccard_threshold=0.3,
+        n_perm=16,
+        bands=8,
+        replayable=True,
+    )
+
+
 def q_lsh_knn_join(spark, sf_dir):
     """Batch ANN join: 5 query vectors each retrieve top-5 neighbors among
     LSH-bucket-sharing candidates (the many-query retrieval form of
@@ -751,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "contamination": q_contamination,
+        "decontaminate": q_decontaminate,
         "lsh_knn_join": q_lsh_knn_join,
     }
 
@@ -956,6 +973,13 @@ def oracle_sql() -> dict[str, str]:
             bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
             joined AS (SELECT * FROM ({_minhash_join_sql()}) mj)
             SELECT id_a, id_b FROM joined
+        """,
+        "decontaminate": f"""
+            WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+            bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+            joined AS (SELECT * FROM ({_minhash_join_sql()}) mj)
+            SELECT doc_id FROM corpus
+            WHERE doc_id NOT IN (SELECT id_a FROM joined)
         """,
         "lsh_knn_join": _lsh_knn_join_sql(),
         "sample": f"""

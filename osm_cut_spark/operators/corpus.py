@@ -15,7 +15,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from osm_cut_spark.operators.dedup import dup_clusters, exact_dedup, minhash_lsh_pairs
+from osm_cut_spark.operators.dedup import (
+    dup_clusters,
+    exact_dedup,
+    minhash_lsh_join,
+    minhash_lsh_pairs,
+)
 from osm_cut_spark.operators.textstats import lang_id, quality_score
 
 
@@ -65,3 +70,32 @@ def clean_corpus(
         F.col("doc_id").alias(id_col)
     )
     return s0.join(dropped, id_col, "left_anti").select(id_col, "lang_family", "quality")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    jaccard_threshold: float = 0.5,
+    n_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    replayable: bool = False,
+) -> DataFrame:
+    """Corpus minus every document that near-duplicates a benchmark
+    document — the quarantine step after ``minhash_lsh_join`` finds
+    train/eval overlaps.  Returns the surviving corpus ids (anti-join on
+    the contamination hits; linear + bucketed, never all-pairs)."""
+    hits = minhash_lsh_join(
+        corpus,
+        benchmark,
+        id_col=id_col,
+        text_col=text_col,
+        n_perm=n_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+        replayable=replayable,
+    ).select(F.col("id_a").alias(id_col))
+    return corpus.join(hits, id_col, "left_anti").select(id_col)

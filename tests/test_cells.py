@@ -168,3 +168,68 @@ def test_cover_determinism():
 
 # computed once from the frozen kernel; drift means the id math changed
 test_cover_determinism.GOLDEN = (102892573, 69, 135)
+
+
+# ---------------------------------------------------------------------------
+# property test: the PRODUCTION routing path (extract._route_points with the
+# per-boundary-cell edge CSR) equals the direct polygon kernel on random
+# star-shaped polygons (optionally holed) and points that include exact
+# vertices and on-edge samples — guards the vectorized gather/CSR indexing
+# against shape edge cases the fixed fixtures cannot cover.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 10_000_000))
+def test_route_points_matches_direct_pip_hypothesis(seed):
+    from osm_cut_spark.operators.extract import _route_points
+
+    rng = np.random.default_rng(seed)
+    n_vert = int(rng.integers(3, 48))
+    cx, cy = rng.uniform(-50, 50, 2)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, n_vert))
+    # distinct angles => simple (star-shaped) ring
+    if np.unique(angles).shape[0] < 3:
+        return
+    radii = rng.uniform(0.5, 6.0, n_vert)
+    ring = [(cx + r * np.cos(a), cy + r * np.sin(a)) for a, r in zip(angles, radii)]
+    defs = [("include", ring)]
+    if rng.random() < 0.4:
+        hole = [
+            (cx + 0.2 * r * np.cos(a), cy + 0.2 * r * np.sin(a))
+            for a, r in zip(angles, radii)
+        ]
+        defs.append(("exclude", hole))
+    poly = prepare_polygon(defs)
+
+    from osm_cut_spark.functions.geometry import PreparedPolygon  # noqa: F401
+    from osm_cut_spark.functions.cells import boundary_edge_index, cell_res
+
+    cover = C.polygon_cell_cover(poly, 7, 11)
+    res_of = cell_res(cover.inside_cells)
+    inside_by_res = {
+        int(r): np.sort(cover.inside_cells[res_of == r]) for r in np.unique(res_of)
+    }
+    ei = (
+        boundary_edge_index(poly, cover.boundary_cells)
+        if cover.boundary_cells.size
+        else None
+    )
+
+    # random points around the bbox + exact vertices + on-edge samples
+    x0, x1, y0, y1 = poly.bbox
+    xs = rng.uniform(x0 - 1, x1 + 1, 1500)
+    ys = rng.uniform(y0 - 1, y1 + 1, 1500)
+    vx = np.array([p[0] for p in ring])
+    vy = np.array([p[1] for p in ring])
+    t = rng.uniform(0, 1, n_vert)
+    ex = vx * (1 - t) + np.roll(vx, -1) * t
+    ey = vy * (1 - t) + np.roll(vy, -1) * t
+    X = np.concatenate([xs, vx, ex])
+    Y = np.concatenate([ys, vy, ey])
+
+    routed = _route_points(poly, cover, inside_by_res, X, Y, ei)
+    direct = poly.contains(X, Y)
+    assert np.array_equal(routed, direct)

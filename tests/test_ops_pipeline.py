@@ -269,3 +269,18 @@ def test_minhash_lsh_join_cross_corpus(spark):
     # ids always come from (corpus, bench) respectively — never within-side
     assert all(a in (1, 2) and b in (101, 102) for a, b in got)
     assert (2, 102) not in got
+
+
+def test_decontaminate_quarantines_overlaps(spark):
+    from osm_cut_spark.operators.corpus import decontaminate
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different short text here")],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(101, base.replace("tok30", "tokX"))], "doc_id LONG, text STRING"
+    )
+    kept = {r.doc_id for r in decontaminate(corpus, bench, jaccard_threshold=0.3).collect()}
+    assert kept == {2}
