@@ -442,6 +442,14 @@ def q_lang_family(spark, sf_dir):
     return lang_id(_t(spark, sf_dir, "documents"))
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Text analysis: corpus vocabulary head — top-50 tokens by term
+    frequency with document frequency (tokenizer/stopword groundwork)."""
+    from osm_cut_spark.operators.textstats import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
 def q_clean_corpus(spark, sf_dir):
     """Composed pretraining cleanup: lang filter -> quality floor -> exact
     dedup survivor -> near-dup cluster representative.  Every stage is
@@ -752,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_family": q_lang_family,
+        "vocab_topk": q_vocab_topk,
         "fingerprint": q_fingerprint,
         "clean_corpus": q_clean_corpus,
         "raster_vector_join": q_raster_vector_join,
@@ -942,6 +951,16 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_cjk > 0 THEN 'cjk'
                         ELSE 'unknown' END AS lang_family
             FROM c
+        """,
+        "vocab_topk": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                          x -> x != '')) AS token
+                FROM documents
+            )
+            SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+            FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 50
         """,
         "clean_corpus": _clean_corpus_sql(),
         "fingerprint": f"""

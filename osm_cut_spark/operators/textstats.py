@@ -84,6 +84,31 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def vocab_topk(
+    docs: DataFrame, k: int = 50, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by total term frequency with
+    document frequency — the vocab/IDF table every tokenizer build and
+    stopword analysis starts from.  (token, tf, df), ties at the cut
+    broken by token so the selection is deterministic.
+
+    Plan: one explode + one groupBy(token) with partial (map-side)
+    aggregation; df is count(DISTINCT doc) inside the same aggregate.
+    The top-k is a TakeOrdered — no global sort materialization.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    return (
+        docs.select(F.col(id_col).alias("_doc"), F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("_doc").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", replayable: bool = False
 ) -> DataFrame:

@@ -284,3 +284,13 @@ def test_decontaminate_quarantines_overlaps(spark):
     )
     kept = {r.doc_id for r in decontaminate(corpus, bench, jaccard_threshold=0.3).collect()}
     assert kept == {2}
+
+
+def test_vocab_topk(spark):
+    from osm_cut_spark.operators.textstats import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b b"), (3, "z")], "doc_id LONG, text STRING"
+    )
+    rows = [(r.token, r.tf, r.df) for r in vocab_topk(df, k=2).collect()]
+    assert rows == [("a", 3, 2), ("b", 3, 2)]  # tf tie broken by token
