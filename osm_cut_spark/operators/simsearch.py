@@ -245,6 +245,12 @@ def lsh_knn_join(
     with rn in [1, k]; queries whose buckets hold fewer than k candidates
     return fewer rows.  ``exact_jvm`` uses sequential-fold bucket keys so
     the candidate set replays bit-for-bit in the DuckDB oracle.
+
+    Scale note (same rule as cosine_dup_pairs): buckets per band =
+    2^(n_planes/n_bands), so rows_per_band must GROW with corpus size to
+    keep per-bucket candidate counts bounded — the defaults (rpb 8, 256
+    buckets/band) suit large corpora; coarse settings like 32/16 (rpb 2)
+    are recall-heavy probes for small corpora and oracle tests.
     """
     if dim is None:
         dim = len(embeddings.select(vec_col).head()[0])
