@@ -1026,7 +1026,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": r"""
             WITH t AS (
                 SELECT doc_id,
-                       len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tokens
+                       COALESCE(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')), 0) AS n_tokens
                 FROM documents
             ),
             c AS (

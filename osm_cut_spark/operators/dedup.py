@@ -424,6 +424,11 @@ def simhash_dup_pairs(
     (optional) additionally drops buckets with more DISTINCT hashes than
     the cap — an explicit approximation knob for adversarial skew; the
     default None keeps the operator exact (== the all-pairs oracle).
+    Under a cap, within-group (hamming-0) pairs are emitted from EVERY
+    surviving block instead of block 0 only — so a dropped block-0 bucket
+    loses them no more irrevocably than cross pairs (they resurface via
+    any other block whose bucket survives); the terminal dropDuplicates
+    already dedupes the (<= n_blocks x) repeats.
     """
     n_bits = 60 if replayable else 63
     if n_blocks is None:
@@ -456,18 +461,23 @@ def simhash_dup_pairs(
     #     expression, so the candidate stream stays near-dup-sized before
     #     any shuffle (a self-join would also recompute the bit-term scan).
     bysh = chunks.groupBy("blk", "key", "sh").agg(F.collect_list("_id").alias("ids"))
+    # exact mode: within-group pairs from block 0 only (each emitted once).
+    # capped mode: from every surviving block, so a dropped block-0 bucket
+    # does not lose them irrevocably; dropDuplicates dedupes the repeats.
+    within_blk = "blk = 0" if max_bucket is None else "true"
+    keep_within = F.lit(True) if max_bucket is not None else (F.col("blk") == 0)
     grouped = (
         bysh.groupBy("blk", "key")
         .agg(F.collect_list(F.struct("sh", "ids")).alias("xs"))
         .filter(
             (F.size("xs") >= 2)
-            | ((F.col("blk") == 0) & F.expr("exists(xs, x -> size(x.ids) >= 2)"))
+            | (keep_within & F.expr("exists(xs, x -> size(x.ids) >= 2)"))
         )
     )
     if max_bucket is not None:
         grouped = grouped.filter(F.size("xs") <= int(max_bucket))
     within = (
-        "CASE WHEN blk = 0 THEN flatten(transform(xs, x ->"
+        f"CASE WHEN {within_blk} THEN flatten(transform(xs, x ->"
         " flatten(transform(x.ids, (a, j) ->"
         "   transform(slice(x.ids, j + 2, size(x.ids)),"
         "     b -> struct(least(a, b) AS id_a, greatest(a, b) AS id_b,"

@@ -300,16 +300,19 @@ def _enc_key(kind_col, ref_col):
     8-byte join key instead of (string, long), which halves shuffle row
     width, makes the hash probe one long compare, and makes the key set
     broadcastable at 2x the row count for the same memory.  OSM ids are
-    < 2^60, so the *4 cannot overflow.  A kind outside node/way/relation
-    encodes to NULL, which an equi-join never matches — the same outcome
-    the old (string, long) comparison gave corrupt member types.
+    < 2^60 so the *4 cannot overflow for real data; ids OUTSIDE [0, 2^60)
+    (corrupt input) would silently wrap to an aliased key, so they are
+    nulled out — an equi-join never matches NULL, the same outcome a kind
+    outside node/way/relation gets (and the same outcome the old
+    (string, long) comparison gave corrupt member types).
     """
     code = (
         F.when(kind_col == "node", F.lit(0))
         .when(kind_col == "way", F.lit(1))
         .when(kind_col == "relation", F.lit(2))
     )
-    return ref_col * F.lit(4) + code
+    safe_ref = F.when((ref_col >= 0) & (ref_col < F.lit(1 << 60)), ref_col)
+    return safe_ref * F.lit(4) + code
 
 
 def _member_hits(

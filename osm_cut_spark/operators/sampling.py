@@ -72,8 +72,9 @@ def stratified_sample(
     pct_col = F.lit(default_pct)
     for fam, pct in sorted(rates.items()):
         pct_col = F.when(F.col("lang_family") == fam, F.lit(pct)).otherwise(pct_col)
-    joined = docs.select(id_col).join(lang, id_col)
-    return joined.filter(_keep_hash(id_col, salt) < pct_col).select(id_col, "lang_family")
+    # lang already carries exactly one row per doc id (it is derived from
+    # docs itself) — filter it directly instead of a redundant self-join.
+    return lang.filter(_keep_hash(id_col, salt) < pct_col).select(id_col, "lang_family")
 
 
 def pack_sequences(
@@ -103,7 +104,12 @@ def pack_sequences(
     if budget < 1:
         raise ValueError("budget must be >= 1")
     spark = docs.sparkSession
-    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    # null text counts as 0 tokens (a null here would poison the driver-side
+    # prefix scan and silently drop rows from partition totals)
+    toks = F.coalesce(
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")),
+        F.lit(0),
+    )
     nparts = partitions or max(spark.sparkContext.defaultParallelism, 8)
     t = (
         docs.select(F.col(id_col), toks.alias("n_tokens"))

@@ -247,6 +247,28 @@ def test_simhash_max_bucket_cap(spark):
     assert got == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_simhash_capped_within_pairs_all_blocks(spark):
+    """Capped mode emits within-group (hamming-0) pairs from EVERY
+    surviving block (so a dropped block-0 bucket no longer loses them
+    irrevocably); the terminal dropDuplicates must still yield each pair
+    exactly once, and a non-dropping cap must equal exact mode."""
+    from osm_cut_spark.operators.dedup import simhash_dup_pairs
+
+    texts = [" ".join(f"w{i}_{j}" for j in range(40)) for i in range(6)]
+    rows = [(k, texts[k % 6]) for k in range(18)]  # 6 identical-groups of 3
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    exact = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_dup_pairs(df, max_hamming=3).collect()
+    )
+    capped = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_dup_pairs(df, max_hamming=3, max_bucket=1000).collect()
+    )
+    assert capped == exact
+    assert len({(a, b) for a, b, _ in capped}) == len(capped)
+
+
 def test_minhash_lsh_join_cross_corpus(spark):
     """Contamination join: hits only cross (corpus x benchmark) pairs."""
     from osm_cut_spark.operators.dedup import minhash_lsh_join

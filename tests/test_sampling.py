@@ -77,6 +77,24 @@ def test_pack_sequences_matches_bruteforce_and_partition_invariant(spark, docs):
     assert got2 == got
 
 
+def test_pack_sequences_null_text(spark):
+    """Null text counts as 0 tokens: the driver-side prefix scan must not
+    raise on all-null range partitions, and null rows still get a bin
+    (they used to be silently excluded from partition totals)."""
+    from osm_cut_spark.operators.sampling import pack_sequences
+
+    rows = [(f"d{i:03d}", None if i % 3 else "a b c") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id STRING, text STRING")
+    got = {r.doc_id: (r.n_tokens, r.bin) for r in pack_sequences(df, budget=4, partitions=8).collect()}
+    assert len(got) == 30
+    acc, want = 0, {}
+    for doc_id, text in sorted(rows):
+        n = len(text.split()) if text else 0
+        want[doc_id] = (n, acc // 4)
+        acc += n
+    assert got == want
+
+
 def test_pack_sequences_empty_and_validation(spark, docs):
     from osm_cut_spark.operators.sampling import pack_sequences
 
