@@ -6,11 +6,12 @@ osm_process_complete.erl).  Semantics are identical; the physical plan is
 Spark-shaped:
 
 * **Node filter** — native bbox predicate (pushdown/row-group pruning, the
-  analog of the geotree root bbox prune, osm_polygon_compiler.erl:200-206)
-  followed by ONE Arrow-vectorized pandas UDF that routes points through
-  the broadcast polygon cell cover: points in uniform inside cells are
-  accepted with two binary searches, only boundary-cell points pay the
-  edge-crossing math (the geotree's in/out constant folding, erl:303-334).
+  analog of the geotree root bbox prune, osm_polygon_compiler.erl:200-206),
+  then NATIVE cover routing: the fine cell id is pure codegen integer math
+  (cells_sql.cell_col) and per-resolution broadcast hash joins against the
+  polygon cell cover resolve uniform cells JVM-side (the geotree's in/out
+  constant folding, erl:303-334); only boundary-cell points enter the
+  Arrow-vectorized edge-subset PIP kernel (select_points).
 * **Way semi-join** — posexplode(nds) ⋈ selected-node ids, regrouped per
   way.  Non-complete keeps the intersection node list in original order
   (osm_process_non_complete.erl:75-87); complete keeps the full list and
@@ -48,7 +49,15 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import BooleanType, LongType
 
-from osm_cut_spark.functions.cells import CellCover, lonlat_to_cell, polygon_cell_cover
+from osm_cut_spark.functions.cells import (
+    BOUNDARY,
+    INSIDE,
+    OUTSIDE,
+    CellCover,
+    boundary_edge_index,
+    lonlat_to_cell,
+    polygon_cell_cover,
+)
 from osm_cut_spark.functions.geometry import PreparedPolygon
 from osm_cut_spark.operators import ingest
 
@@ -185,7 +194,12 @@ def make_pip_udf(spark: SparkSession, poly: PreparedPolygon, cover: CellCover):
 
 
 def make_cell_udf(spark: SparkSession, res: int):
-    """Vectorized long pandas UDF: (lon, lat) -> cell id at ``res``."""
+    """Vectorized long pandas UDF: (lon, lat) -> cell id at ``res``.
+
+    Superseded on every hot path by the native ``cells_sql.cell_col``
+    expression (bit-exact twin, whole-stage-codegen, no Arrow transfer);
+    kept as the reference implementation the parity tests compare against.
+    """
 
     @F.pandas_udf(LongType())
     def cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -196,6 +210,57 @@ def make_cell_udf(spark: SparkSession, res: int):
         return pd.Series(out)
 
     return cell
+
+
+def make_boundary_pip_udf(
+    spark: SparkSession,
+    poly: PreparedPolygon,
+    cover: CellCover,
+    edge_index,
+    rows_acc=None,
+):
+    """Vectorized boolean pandas UDF for BOUNDARY-CELL points only:
+    (lon, lat, fine_cell) -> inside polygon.
+
+    The caller has already routed uniform-verdict cells natively
+    (select_points), so every input row sits in a boundary cell and pays
+    exactly its cell's local edge subset — the Arrow transfer shrinks from
+    all-bbox-passing points to boundary points (typically 10-50x fewer).
+    The fine cell id arrives as a column (computed JVM-side by cell_col),
+    so Python does no cell math at all — just a searchsorted into the
+    boundary-cell array and the CSR edge-subset even-odd test.
+    ``rows_acc`` (optional Spark accumulator) counts Arrow input rows —
+    the observable that pins "boundary-only transfer" in tests.
+    """
+    bc = spark.sparkContext.broadcast((poly, cover.boundary_cells, edge_index))
+
+    @F.pandas_udf(BooleanType())
+    def pip_bnd(lon: pd.Series, lat: pd.Series, fc: pd.Series) -> pd.Series:
+        p, bcells, ei = bc.value
+        if rows_acc is not None:
+            rows_acc.add(len(lon))
+        x = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+        y = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        f = fc.to_numpy(dtype=np.int64, na_value=-1)
+        out = np.zeros(x.shape[0], dtype=bool)
+        if bcells.shape[0] == 0:
+            return pd.Series(out)
+        pos = np.clip(np.searchsorted(bcells, f), 0, bcells.shape[0] - 1)
+        ok = (bcells[pos] == f) & ~(np.isnan(x) | np.isnan(y))
+        if ok.any():
+            if ei is not None:
+                out[ok] = _boundary_verdict(p, ei, pos[ok], x[ok], y[ok])
+            else:
+                out[ok] = p.contains(x[ok], y[ok])
+        return pd.Series(out)
+
+    # nondeterministic marker is a FENCE, not a semantic statement: it stops
+    # CombineFilters/PushDownPredicate from merging this filter into the
+    # verdict filter below it — merged, the ArrowEvalPython would evaluate
+    # the UDF on EVERY routed row and the boundary-only transfer is lost
+    # (measured: all bbox survivors crossed Arrow; pinned by the
+    # arrow_rows_acc test).
+    return pip_bnd.asNondeterministic()
 
 
 def auto_cover(poly: PreparedPolygon, coarse_res: int = 7, max_cells: int = 2_000_000) -> CellCover:
@@ -215,12 +280,14 @@ def auto_cover(poly: PreparedPolygon, coarse_res: int = 7, max_cells: int = 2_00
     return polygon_cell_cover(poly, coarse_res, res, max_cells=max_cells)
 
 
-def bbox_predicate(poly: PreparedPolygon) -> Column:
+def bbox_predicate(
+    poly: PreparedPolygon, lon_col: str = "lon", lat_col: str = "lat"
+) -> Column:
     """Native pre-filter on the include-rings bbox (Catalyst-visible)."""
     x0, x1, y0, y1 = poly.bbox
     return (
-        F.col("lon").between(F.lit(x0), F.lit(x1))
-        & F.col("lat").between(F.lit(y0), F.lit(y1))
+        F.col(lon_col).between(F.lit(x0), F.lit(x1))
+        & F.col(lat_col).between(F.lit(y0), F.lit(y1))
     )
 
 
@@ -229,20 +296,106 @@ def bbox_predicate(poly: PreparedPolygon) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def select_points(
+    spark: SparkSession,
+    points: DataFrame,
+    poly: PreparedPolygon,
+    cover: CellCover | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    arrow_rows_acc=None,
+) -> DataFrame:
+    """Points inside the polygon — natively cover-routed PIP.
+
+    The routing that used to happen inside the pandas UDF (cells.py cover
+    semantics: fine cell in the inside set at any ancestor resolution ->
+    accept; in the boundary set -> edge test; neither -> reject) now runs
+    entirely JVM-side:
+
+    1. native bbox prune (Catalyst-visible, pushdown-friendly);
+    2. native fine-cell id (``cells_sql.cell_col`` — bit-exact twin of
+       lonlat_to_cell, pure codegen integer math);
+    3. one BroadcastHashJoin per cover resolution against that level's
+       (cell_id, verdict) set — the cover refines disjointly, so at most
+       one level hits and ``coalesce`` of the verdicts is THE verdict;
+    4. uniform cells resolve right there: verdict==INSIDE rows are kept
+       with no Python at all, unmatched rows drop;
+    5. ONLY verdict==BOUNDARY rows (typically 2-50x fewer than the bbox
+       survivors) enter the ArrowEvalPython edge-subset kernel
+       (make_boundary_pip_udf), as a separate union branch so the Arrow
+       transfer provably excludes uniform-cell rows (plan-tested).
+
+    Analog of the reference geotree's constant-folded quadrant dispatch
+    (osm_polygon_compiler.erl:303-334) — but the dispatch is a broadcast
+    hash probe inside whole-stage codegen instead of per-point Erlang.
+    """
+    from osm_cut_spark.functions.cells import cell_res
+    from osm_cut_spark.functions.cells_sql import cell_col, cell_parent_col
+
+    if cover is None:
+        cover = polygon_cell_cover(poly)
+    edge_index = (
+        boundary_edge_index(poly, cover.boundary_cells)
+        if cover.boundary_cells.size
+        else None
+    )
+
+    # per-resolution (cell_id, verdict) sets; boundary cells live at cover.res
+    res_of = cell_res(cover.inside_cells)
+    levels: dict[int, pd.DataFrame] = {}
+    for r in np.unique(res_of):
+        ids = cover.inside_cells[res_of == r]
+        levels[int(r)] = pd.DataFrame(
+            {"cell_id": ids, "v": np.full(ids.shape[0], INSIDE, dtype=np.int32)}
+        )
+    if cover.boundary_cells.size:
+        bnd_pdf = pd.DataFrame(
+            {
+                "cell_id": cover.boundary_cells,
+                "v": np.full(cover.boundary_cells.shape[0], BOUNDARY, dtype=np.int32),
+            }
+        )
+        if cover.res in levels:
+            levels[cover.res] = pd.concat([levels[cover.res], bnd_pdf])
+        else:
+            levels[cover.res] = bnd_pdf
+
+    base = points.filter(bbox_predicate(poly, lon_col, lat_col)).withColumn(
+        "_fc", cell_col(F.col(lon_col), F.col(lat_col), cover.res)
+    )
+    vcols: list[str] = []
+    for r, pdf in sorted(levels.items()):
+        vname, cname = f"_v{r}", f"_ck{r}"
+        vdf = spark.createDataFrame(
+            pdf.rename(columns={"cell_id": cname, "v": vname})
+        )
+        key = cell_parent_col(F.col("_fc"), cover.res - r)
+        base = base.join(F.broadcast(vdf), key == F.col(cname), "left").drop(cname)
+        vcols.append(vname)
+    routed = base.withColumn(
+        "_v", F.coalesce(*[F.col(c) for c in vcols], F.lit(OUTSIDE))
+    )
+    inside = routed.filter(F.col("_v") == INSIDE)
+    bnd = routed.filter(F.col("_v") == BOUNDARY)
+    if cover.boundary_cells.size:
+        pip_bnd = make_boundary_pip_udf(spark, poly, cover, edge_index, arrow_rows_acc)
+        bnd = bnd.filter(pip_bnd(F.col(lon_col), F.col(lat_col), F.col("_fc")))
+    else:
+        bnd = bnd.filter(F.lit(False))
+    out_cols = points.columns
+    return inside.select(*out_cols).unionByName(bnd.select(*out_cols))
+
+
 def select_nodes(
     spark: SparkSession,
     nodes: DataFrame,
     poly: PreparedPolygon,
     cover: CellCover | None = None,
 ) -> DataFrame:
-    """Nodes inside the polygon (bbox prune -> cover-routed PIP UDF)."""
-    if cover is None:
-        cover = polygon_cell_cover(poly)
-    pip = make_pip_udf(spark, poly, cover)
-    return (
-        nodes.filter(F.col("id").isNotNull())
-        .filter(bbox_predicate(poly))
-        .filter(pip(F.col("lon"), F.col("lat")))
+    """Nodes inside the polygon (bbox prune -> native cover routing ->
+    boundary-only PIP UDF; see select_points)."""
+    return select_points(
+        spark, nodes.filter(F.col("id").isNotNull()), poly, cover
     )
 
 
@@ -855,6 +1008,12 @@ def finish_extract(
         caches = []
     # persist the SMALL selected-key sets — each gates several joins
     nodes_sel = nodes_sel.persist()
+    # eager fill BEFORE the fan-out below: keys.count() launches the
+    # distinct / way-join / completion stages concurrently, and a cold
+    # nodes_sel cache would make each of them recompute the whole routed
+    # selection subtree (union + cover joins + boundary UDF) — the same
+    # duplicated-work trap the narrow cache's count() documents
+    nodes_sel.count()
     sel_node_ids = nodes_sel.select(F.col("id").alias("node_id")).distinct().persist()
     ways_sel = ways_sel.persist()
     way_ids = ways_sel.select(F.col("id").alias("way_id")).distinct().persist()

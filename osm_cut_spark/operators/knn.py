@@ -175,14 +175,13 @@ def knn_join(
         F.col(lat_col).alias("_qy"),
         F.explode(F.array_distinct(disk(F.col(lon_col), F.col(lat_col)))).alias("_cell"),
     )
-    from osm_cut_spark.operators.extract import make_cell_udf
+    from osm_cut_spark.functions.cells_sql import cell_col
 
-    cell = make_cell_udf(spark, res)
     pts = points.select(
         F.col(id_col).alias("_pid"),
         F.col(lon_col).alias("_px"),
         F.col(lat_col).alias("_py"),
-        cell(F.col(lon_col), F.col(lat_col)).alias("_cell"),
+        cell_col(F.col(lon_col), F.col(lat_col), res).alias("_cell"),
     )
     dx = F.col("_px") - F.col("_qx")
     dy = F.col("_py") - F.col("_qy")

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from osm_cut_spark.operators.extract import make_cell_udf
+from osm_cut_spark.functions.cells_sql import cell_col
 
 
 def way_cell_coverage(
@@ -29,9 +29,9 @@ def way_cell_coverage(
     res: int = 7,
 ) -> DataFrame:
     """(way_id, cell_id) pairs: every cell containing a node of the way."""
-    cell = make_cell_udf(spark, res)
     node_cells = nodes.select(
-        F.col("id").alias("node_id"), cell(F.col("lon"), F.col("lat")).alias("cell_id")
+        F.col("id").alias("node_id"),
+        cell_col(F.col("lon"), F.col("lat"), res).alias("cell_id"),
     )
     refs = ways.select(F.col("id").alias("way_id"), F.explode("nds").alias("node_id"))
     return refs.join(node_cells, "node_id").select("way_id", "cell_id").distinct()

@@ -140,7 +140,7 @@ class ResumableCut:
         nodes = narrow.filter(F.col("kind") == "node").select("id", "lon", "lat", "doc_id", "offset")
         ways = narrow.filter(F.col("kind") == "way").select("id", "nds", "doc_id", "offset")
         relations = narrow.filter(F.col("kind") == "relation").select("id", "members", "doc_id", "offset")
-        cell_udf = X.make_cell_udf(spark, self.coarse_res)
+        from osm_cut_spark.functions.cells_sql import cell_col
 
         resumed_buckets = 0
 
@@ -153,7 +153,7 @@ class ResumableCut:
                 continue
             sel = X.select_nodes(
                 spark, nodes_b.filter(F.col("_bucket") == b).drop("_bucket"), self.poly, self.cover
-            ).withColumn("cell_r7", cell_udf(F.col("lon"), F.col("lat")))
+            ).withColumn("cell_r7", cell_col(F.col("lon"), F.col("lat"), self.coarse_res))
             self._commit(self.nodes_tbl, sel, "nodes", b, with_cells=True)
 
         nodes_sel = self.nodes_tbl.read(spark)

@@ -262,6 +262,87 @@ def test_no_selection_yields_empty(spark, fixture):
     assert result.documents().count() == 0
 
 
+def test_select_points_native_routing_plan_and_parity(spark):
+    """Cover routing is native: the plan has exactly ONE ArrowEvalPython
+    (the boundary-cell branch — uniform-cell points never cross the Arrow
+    boundary), one BroadcastHashJoin per cover resolution level, and the
+    result equals the direct polygon kernel on a non-convex polygon."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_cut_spark.functions.cells import cell_res, polygon_cell_cover
+    from osm_cut_spark.functions.geometry import prepare_polygon
+    from osm_cut_spark.operators.extract import select_points
+
+    ring = [(0, 0), (10, 0), (10, 10), (5, 5), (0, 10)]  # non-convex notch
+    poly = prepare_polygon([("include", ring)])
+    cover = polygon_cell_cover(poly, 4, 8)
+    rng = np.random.default_rng(41)
+    px, py = rng.uniform(-2, 12, 20000), rng.uniform(-2, 12, 20000)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pt": np.arange(20000), "lon": px, "lat": py})
+    )
+    out = select_points(spark, pts, poly, cover)
+    sel = {r.pt for r in out.collect()}
+    want = set(np.nonzero(poly.contains(px, py))[0].tolist())
+    assert sel == want and len(sel) > 0
+
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    n_levels = len(
+        set(np.unique(cell_res(cover.inside_cells)).tolist())
+        | ({cover.res} if cover.boundary_cells.size else set())
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan[:3000]
+    # each union branch re-plans the routed frame -> 2x the level joins
+    assert plan.count("BroadcastHashJoin") == 2 * n_levels, plan[:3000]
+
+
+def test_select_points_boundary_only_arrow_rows(spark):
+    """The Arrow transfer is provably boundary-only: the boundary PIP
+    UDF's row accumulator sees exactly the boundary-cell point count —
+    a strict subset of the bbox survivors (which is what the old
+    all-points UDF transferred)."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_cut_spark.functions.cells import lonlat_to_cell, polygon_cell_cover
+    from osm_cut_spark.functions.geometry import prepare_polygon
+    from osm_cut_spark.operators.extract import select_points
+
+    poly = prepare_polygon([("include", [(0, 0), (10, 0), (10, 10), (0, 10)])])
+    cover = polygon_cell_cover(poly, 4, 7)
+    rng = np.random.default_rng(43)
+    px, py = rng.uniform(-1, 11, 8000), rng.uniform(-1, 11, 8000)
+    pts = spark.createDataFrame(pd.DataFrame({"pt": np.arange(8000), "lon": px, "lat": py}))
+    acc = spark.sparkContext.accumulator(0)
+    out = select_points(spark, pts, poly, cover, arrow_rows_acc=acc)
+    got = {r.pt for r in out.collect()}
+    assert got == set(np.nonzero(poly.contains(px, py))[0].tolist())
+
+    # expected Arrow input: bbox survivors whose fine cell is a boundary
+    # cell and no ancestor is in the inside set
+    x0, x1, y0, y1 = poly.bbox
+    inbox = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+    fine = lonlat_to_cell(px, py, cover.res)
+    bset = set(cover.boundary_cells.tolist())
+    iset = set(cover.inside_cells.tolist())
+
+    def _ancestor_inside(c):
+        while c >= 1:
+            if c in iset:
+                return True
+            c >>= 2
+        return False
+
+    n_bnd = sum(
+        1
+        for i in range(8000)
+        if inbox[i] and not _ancestor_inside(int(fine[i])) and int(fine[i]) in bset
+    )
+    assert 0 < n_bnd < int(inbox.sum())
+    assert acc.value == n_bnd, (acc.value, n_bnd, int(inbox.sum()))
+
+
 def test_member_semijoin_broadcasts_keys(spark, fixture):
     """The relation member semi-joins must run as broadcast hash joins on
     the packed long key when the selected-key set is under the broadcast
