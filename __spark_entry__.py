@@ -282,16 +282,20 @@ def _cosine_dup_sql(threshold=0.4, dim=64, n_planes=32, n_bands=16, seed=42,
 
 
 def q_pip_node_filter(spark, sf_dir):
-    """P1/P2/P5: vectorized even-odd PIP (boundary-inclusive) via the real
-    pandas-UDF kernel; oracle replays it as inclusive half-planes (exact for
+    """P1/P2/P5: even-odd PIP (boundary-inclusive) via the PRODUCTION
+    routing path — native cell-cover broadcast joins decide uniform cells
+    JVM-side, only boundary-cell points enter the pandas edge kernel
+    (select_points); oracle replays it as inclusive half-planes (exact for
     the convex fixture triangle, same float expression shape)."""
     from osm_cut_spark.functions.cells import polygon_cell_cover
     from osm_cut_spark.functions.geometry import prepare_polygon
-    from osm_cut_spark.operators.extract import make_pip_udf
+    from osm_cut_spark.operators.extract import select_points
 
     poly = prepare_polygon([("include", TRIANGLE)])
-    pip = make_pip_udf(spark, poly, polygon_cell_cover(poly))
-    return _points(spark, sf_dir).filter(pip(F.col("x"), F.col("y"))).select("pt_id")
+    return select_points(
+        spark, _points(spark, sf_dir), poly, polygon_cell_cover(poly),
+        lon_col="x", lat_col="y",
+    ).select("pt_id")
 
 
 def q_bbox_filter(spark, sf_dir):
@@ -652,7 +656,7 @@ def q_cosine_dup(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_dup_pairs(
-        spark, emb, threshold=0.4, n_planes=32, n_bands=16, exact_jvm=True
+        spark, emb, threshold=0.4, n_planes=32, n_bands=16, exact_jvm=True, dim=64
     ).select("id_a", "id_b")
 
 
@@ -701,6 +705,7 @@ def q_lsh_knn_join(spark, sf_dir):
         k=5,
         n_planes=32,
         n_bands=16,
+        dim=64,
         exact_jvm=True,
     )
 
@@ -746,6 +751,25 @@ def q_ivf_ann_fullprobe(spark, sf_dir):
     )
 
 
+def q_ivf_knn_join(spark, sf_dir):
+    """Batch IVF ANN join with full probe (n_probe == n_centroids) ==
+    exact brute-force per-query top-k — the many-query, partition-pruned
+    form of ivf_search (same degrade-to-exact proof shape as
+    ivf_ann_fullprobe, but ONE list equi-join instead of a driver call
+    per query)."""
+    from osm_cut_spark.operators.simsearch import ivf_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_knn_join(
+        spark,
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "qid"),
+        k=5,
+        n_centroids=8,
+        n_probe=8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_node_filter": q_pip_node_filter,
@@ -771,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "cosine_dup": q_cosine_dup,
         "ivf_ann_fullprobe": q_ivf_ann_fullprobe,
+        "ivf_knn_join": q_ivf_knn_join,
         "simhash_pairs": q_simhash_pairs,
         "sample": q_sample,
         "stratified_sample": q_stratified_sample,
@@ -818,6 +843,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank, vec_id
             FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        # full probe degrades to the exact per-query top-k join
+        "ivf_knn_join": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+            d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+            sims AS (
+                SELECT q.qid, d.vec_id,
+                       list_dot_product(d.v, q.qv)
+                       / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+                FROM q CROSS JOIN d
+            )
+            SELECT qid, vec_id, CAST(rn AS INT) AS rn FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+                FROM sims)
+            WHERE rn <= 5
         """,
         # inclusive half-planes with the kernel's exact float shape
         # R = (x*a + y*b) + c per edge of the fixture triangle

@@ -142,6 +142,7 @@ def run_once(spark, sf_dir: str) -> dict:
                 k=5,
                 n_planes=32,
                 n_bands=16,
+                dim=64,
             )
         )
 

@@ -175,6 +175,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     max_bucket: int = 1000,
     replayable: bool = False,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
@@ -190,6 +191,14 @@ def minhash_lsh_pairs(
     filter on the grouped ids, bounding the per-bucket combination array at
     C(max_bucket, 2)); shingle arrays re-enter only via two slim joins on
     the final (small) candidate set.
+
+    Pass ``metrics`` (a dict) to surface the cap: the operator stores a
+    LAZY one-row DataFrame under ``metrics["dropped_buckets"]`` counting
+    over-cap buckets the ``max_bucket`` filter discarded; ``.first()[0]``
+    it whenever observability is wanted (an explicit separate job — a
+    mid-plan ``observe()`` would be free, but AQE in this Spark build
+    drops CollectMetrics below exchange boundaries, see
+    session.observed_metrics).
     """
     rows_per_band = n_perm // bands
     sh_df = docs.select(F.col(id_col).alias("_id"), shingles(shingle_n, text_col).alias("sh"))
@@ -198,9 +207,13 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "_id", F.explode(band_buckets(F.col("sig"), bands, rows_per_band, replayable)).alias("bucket")
     )
+    buckets = banded.groupBy("bucket").agg(F.collect_list("_id").alias("ids"))
+    if metrics is not None:
+        metrics["dropped_buckets"] = buckets.filter(
+            F.size("ids") > max_bucket
+        ).agg(F.count(F.lit(1)).alias("dropped_buckets"))
     pairs = (
-        banded.groupBy("bucket")
-        .agg(F.collect_list("_id").alias("ids"))
+        buckets
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
         .select(
             F.explode(
@@ -238,6 +251,7 @@ def minhash_lsh_join(
     jaccard_threshold: float = 0.5,
     max_bucket_pairs: int = 1_000_000,
     replayable: bool = False,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """CROSS-corpus near-duplicate join: pairs (id_a ∈ A, id_b ∈ B) with
     exact shingle Jaccard >= threshold, candidates from shared MinHash
@@ -251,6 +265,8 @@ def minhash_lsh_join(
     approximation knob — replay the same cap in any oracle); shingles
     re-enter via two slim joins on the candidate set for the exact
     verify.  Returns (id_a, id_b, i_size, u_size, jaccard).
+    ``metrics`` (optional dict) receives a lazy one-row DataFrame under
+    ``"dropped_buckets"`` — over-cap buckets the cap discarded.
     """
     rows_per_band = n_perm // bands
 
@@ -270,8 +286,13 @@ def minhash_lsh_join(
     sh_b, banded_b = prep(docs_b, "id_b")
     ga = banded_a.groupBy("bucket").agg(F.collect_list("id_a").alias("ia"))
     gb = banded_b.groupBy("bucket").agg(F.collect_list("id_b").alias("ib"))
+    joined = ga.join(gb, "bucket")
+    if metrics is not None:
+        metrics["dropped_buckets"] = joined.filter(
+            F.size("ia") * F.size("ib") > F.lit(int(max_bucket_pairs))
+        ).agg(F.count(F.lit(1)).alias("dropped_buckets"))
     pairs = (
-        ga.join(gb, "bucket")
+        joined
         .filter(F.size("ia") * F.size("ib") <= F.lit(int(max_bucket_pairs)))
         .select(
             F.explode(
@@ -410,6 +431,7 @@ def simhash_dup_pairs(
     n_blocks: int | None = None,
     replayable: bool = False,
     max_bucket: int | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on ``max_hamming + 1`` bit chunks
     (pigeonhole: any pair with hamming <= max_hamming shares at least one
@@ -428,7 +450,9 @@ def simhash_dup_pairs(
     surviving block instead of block 0 only — so a dropped block-0 bucket
     loses them no more irrevocably than cross pairs (they resurface via
     any other block whose bucket survives); the terminal dropDuplicates
-    already dedupes the (<= n_blocks x) repeats.
+    already dedupes the (<= n_blocks x) repeats.  ``metrics`` (optional
+    dict) receives a lazy one-row DataFrame under ``"dropped_buckets"``
+    — how many (block, key) buckets the cap discarded.
     """
     n_bits = 60 if replayable else 63
     if n_blocks is None:
@@ -475,6 +499,10 @@ def simhash_dup_pairs(
         )
     )
     if max_bucket is not None:
+        if metrics is not None:
+            metrics["dropped_buckets"] = grouped.filter(
+                F.size("xs") > int(max_bucket)
+            ).agg(F.count(F.lit(1)).alias("dropped_buckets"))
         grouped = grouped.filter(F.size("xs") <= int(max_bucket))
     within = (
         f"CASE WHEN {within_blk} THEN flatten(transform(xs, x ->"

@@ -56,3 +56,23 @@ def get_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def observed_metrics(observation, *names: str) -> dict[str, int | float | None]:
+    """Read metrics from a pyspark ``Observation`` after an action.
+
+    Works around a defect in this PySpark build where ``Observation.get``
+    dies converting the JVM result (``toPyRow`` assertion: the Scala side
+    returns a ``Map[String, Any]``, not a Row).  Reads the map directly
+    over py4j instead — same blocking semantics as ``get`` (the JVM call
+    waits for the action's QueryExecution listener).
+
+    AQE caveat (measured in this build): a CollectMetrics node BELOW a
+    shuffle-exchange boundary loses its metrics under AQE (the map comes
+    back empty) — only observe at the TOP of a plan, or on plans with no
+    exchange above the observed node.  Operators that need mid-plan
+    observability (the capped LSH family) therefore expose lazy metrics
+    DataFrames instead.
+    """
+    jmap = observation._jo.get()
+    return {n: jmap.apply(n) for n in names}

@@ -316,3 +316,36 @@ def test_vocab_topk(spark):
     )
     rows = [(r.token, r.tf, r.df) for r in vocab_topk(df, k=2).collect()]
     assert rows == [("a", 3, 2), ("b", 3, 2)]  # tf tie broken by token
+
+
+def test_minhash_caps_observable(spark):
+    """Every capped LSH operator surfaces dropped-bucket counts through a
+    lazy metrics DataFrame (no silent approximation): minhash_lsh_pairs,
+    minhash_lsh_join, simhash_dup_pairs."""
+    from osm_cut_spark.operators.dedup import (
+        minhash_lsh_join,
+        minhash_lsh_pairs,
+        simhash_dup_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(12)], "doc_id LONG, text STRING"
+    )
+    m = {}
+    minhash_lsh_pairs(docs, max_bucket=3, metrics=m).collect()
+    assert m["dropped_buckets"].first()[0] > 0  # 12 identical docs >> cap 3
+    m2 = {}
+    minhash_lsh_pairs(docs, max_bucket=1000, metrics=m2).collect()
+    assert m2["dropped_buckets"].first()[0] == 0
+
+    m3 = {}
+    minhash_lsh_join(docs, docs, max_bucket_pairs=4, metrics=m3).collect()
+    assert m3["dropped_buckets"].first()[0] > 0  # 12x12 product >> 4
+
+    # simhash: cap 1 drops every bucket holding >= 2 DISTINCT hashes
+    texts = [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(6)]
+    sdocs = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    m4 = {}
+    simhash_dup_pairs(sdocs, max_hamming=30, max_bucket=1, metrics=m4).collect()
+    assert m4["dropped_buckets"].first()[0] > 0

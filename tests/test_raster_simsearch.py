@@ -176,7 +176,7 @@ def test_cosine_dup_pairs_subset_of_exact(spark):
     }
     got = {
         (r.id_a, r.id_b)
-        for r in cosine_dup_pairs(spark, emb, threshold=0.35, n_bands=16).collect()
+        for r in cosine_dup_pairs(spark, emb, threshold=0.35, n_bands=16, dim=64).collect()
     }
     assert got <= exact  # verified candidates never exceed the exact set
     if exact:
@@ -185,7 +185,7 @@ def test_cosine_dup_pairs_subset_of_exact(spark):
     jvm = {
         (r.id_a, r.id_b)
         for r in cosine_dup_pairs(
-            spark, emb, threshold=0.35, n_bands=16, exact_jvm=True
+            spark, emb, threshold=0.35, n_bands=16, exact_jvm=True, dim=64
         ).collect()
     }
     assert jvm == got
@@ -271,7 +271,7 @@ def test_lsh_knn_join_matches_per_query_ann(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     data = emb.filter("vec_id >= 3")
     queries = emb.filter("vec_id < 3").withColumnRenamed("vec_id", "qid")
-    joined = lsh_knn_join(spark, data, queries, k=4, n_planes=32, n_bands=16)
+    joined = lsh_knn_join(spark, data, queries, k=4, n_planes=32, n_bands=16, dim=64)
     by_q = {}
     for r in joined.collect():
         by_q.setdefault(r.qid, []).append((r.rn, r.vec_id))
@@ -282,3 +282,63 @@ def test_lsh_knn_join_matches_per_query_ann(spark):
         )
         want = [(x.rank, x.vec_id) for x in single.collect()]
         assert sorted(by_q.get(r.qid, [])) == sorted(want), r.qid
+
+
+def test_ivf_knn_join_fullprobe_exact_and_partial_subset(spark):
+    """Full probe (n_probe == n_centroids) equals the exact brute-force
+    per-query top-k; a partial probe returns, per query, a rank-list
+    drawn only from its probed lists (subset of candidates, top-k shape
+    preserved)."""
+    import numpy as np
+
+    from osm_cut_spark.operators.simsearch import ivf_knn_join
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    data = emb.filter("vec_id >= 5")
+    queries = emb.filter("vec_id < 5").withColumnRenamed("vec_id", "qid")
+
+    got = {}
+    for r in ivf_knn_join(spark, data, queries, k=4, n_centroids=8, n_probe=8).collect():
+        got.setdefault(r.qid, []).append((r.rn, r.vec_id))
+
+    # brute force per query
+    mat = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in data.collect()}
+    for q in queries.collect():
+        qv = np.asarray(q.embedding, dtype=np.float64)
+        sims = sorted(
+            (
+                (-(v @ qv) / (np.linalg.norm(v) * np.linalg.norm(qv)), i)
+                for i, v in mat.items()
+            ),
+        )
+        want = [(rank + 1, i) for rank, (_, i) in enumerate(sims[:4])]
+        assert sorted(got[q.qid]) == sorted(want), q.qid
+
+    partial = ivf_knn_join(spark, data, queries, k=4, n_centroids=8, n_probe=2)
+    rows = partial.collect()
+    assert len(rows) > 0
+    for qid, grp in [
+        (q, [r for r in rows if r.qid == q]) for q in {r.qid for r in rows}
+    ]:
+        rns = sorted(r.rn for r in grp)
+        assert rns == list(range(1, len(rns) + 1))  # contiguous ranks per query
+
+
+def test_cosine_dup_metrics_report_dropped_buckets(spark):
+    """The max_bucket cap is observable: the metrics DataFrame attached to
+    cosine_dup_pairs reports >0 dropped buckets when the cap bites and 0
+    when it does not (round-3 verdict: caps must not be silent)."""
+    from osm_cut_spark.operators.simsearch import cosine_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    m0 = {}
+    cosine_dup_pairs(
+        spark, emb, threshold=0.35, n_bands=16, dim=64, metrics=m0
+    ).collect()
+    assert m0["dropped_buckets"].first()[0] == 0
+
+    m1 = {}
+    cosine_dup_pairs(
+        spark, emb, threshold=0.35, n_bands=16, dim=64, max_bucket=2, metrics=m1
+    ).collect()
+    assert m1["dropped_buckets"].first()[0] > 0
