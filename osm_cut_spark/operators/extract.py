@@ -296,6 +296,94 @@ def bbox_predicate(
 # ---------------------------------------------------------------------------
 
 
+def make_point_selector(
+    spark: SparkSession,
+    poly: PreparedPolygon,
+    cover: CellCover | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    arrow_rows_acc=None,
+):
+    """Build the cover-routing machinery ONCE and return a reusable
+    ``points -> selected points`` callable.
+
+    The per-call setup of select_points (edge-index build, per-resolution
+    verdict DataFrames, the boundary-UDF broadcast) is polygon-derived
+    and identical across calls — a streaming query or a multi-cut session
+    pays it once here instead of per microbatch/extract.
+    """
+    from osm_cut_spark.functions.cells import cell_res
+    from osm_cut_spark.functions.cells_sql import cell_col, cell_parent_col
+
+    if cover is None:
+        cover = polygon_cell_cover(poly)
+    edge_index = (
+        boundary_edge_index(poly, cover.boundary_cells)
+        if cover.boundary_cells.size
+        else None
+    )
+
+    # per-resolution (cell_id, verdict) sets; boundary cells live at cover.res
+    res_of = cell_res(cover.inside_cells)
+    level_pdfs: dict[int, pd.DataFrame] = {}
+    for r in np.unique(res_of):
+        ids = cover.inside_cells[res_of == r]
+        level_pdfs[int(r)] = pd.DataFrame(
+            {"cell_id": ids, "v": np.full(ids.shape[0], INSIDE, dtype=np.int32)}
+        )
+    if cover.boundary_cells.size:
+        bnd_pdf = pd.DataFrame(
+            {
+                "cell_id": cover.boundary_cells,
+                "v": np.full(cover.boundary_cells.shape[0], BOUNDARY, dtype=np.int32),
+            }
+        )
+        if cover.res in level_pdfs:
+            level_pdfs[cover.res] = pd.concat([level_pdfs[cover.res], bnd_pdf])
+        else:
+            level_pdfs[cover.res] = bnd_pdf
+
+    level_dfs: list[tuple[int, str, str, DataFrame]] = []
+    for r, pdf in sorted(level_pdfs.items()):
+        vname, cname = f"_v{r}", f"_ck{r}"
+        level_dfs.append(
+            (
+                r,
+                vname,
+                cname,
+                spark.createDataFrame(pdf.rename(columns={"cell_id": cname, "v": vname})),
+            )
+        )
+    pip_bnd = (
+        make_boundary_pip_udf(spark, poly, cover, edge_index, arrow_rows_acc)
+        if cover.boundary_cells.size
+        else None
+    )
+
+    def select(points: DataFrame) -> DataFrame:
+        base = points.filter(bbox_predicate(poly, lon_col, lat_col)).withColumn(
+            "_fc", cell_col(F.col(lon_col), F.col(lat_col), cover.res)
+        )
+        vcols: list[str] = []
+        for r, vname, cname, vdf in level_dfs:
+            key = cell_parent_col(F.col("_fc"), cover.res - r)
+            base = base.join(F.broadcast(vdf), key == F.col(cname), "left").drop(cname)
+            vcols.append(vname)
+        routed = base.withColumn(
+            "_v", F.coalesce(*[F.col(c) for c in vcols], F.lit(OUTSIDE))
+        )
+        inside = routed.filter(F.col("_v") == INSIDE)
+        bnd = routed.filter(F.col("_v") == BOUNDARY)
+        if pip_bnd is not None:
+            bnd = bnd.filter(pip_bnd(F.col(lon_col), F.col(lat_col), F.col("_fc")))
+        else:
+            bnd = bnd.filter(F.lit(False))
+        out_cols = points.columns
+        return inside.select(*out_cols).unionByName(bnd.select(*out_cols))
+
+    return select
+
+
 def select_points(
     spark: SparkSession,
     points: DataFrame,
@@ -328,62 +416,13 @@ def select_points(
     Analog of the reference geotree's constant-folded quadrant dispatch
     (osm_polygon_compiler.erl:303-334) — but the dispatch is a broadcast
     hash probe inside whole-stage codegen instead of per-point Erlang.
+
+    One-shot form of ``make_point_selector`` — repeated callers (streaming
+    microbatches, multi-cut sessions) should build the selector once.
     """
-    from osm_cut_spark.functions.cells import cell_res
-    from osm_cut_spark.functions.cells_sql import cell_col, cell_parent_col
-
-    if cover is None:
-        cover = polygon_cell_cover(poly)
-    edge_index = (
-        boundary_edge_index(poly, cover.boundary_cells)
-        if cover.boundary_cells.size
-        else None
-    )
-
-    # per-resolution (cell_id, verdict) sets; boundary cells live at cover.res
-    res_of = cell_res(cover.inside_cells)
-    levels: dict[int, pd.DataFrame] = {}
-    for r in np.unique(res_of):
-        ids = cover.inside_cells[res_of == r]
-        levels[int(r)] = pd.DataFrame(
-            {"cell_id": ids, "v": np.full(ids.shape[0], INSIDE, dtype=np.int32)}
-        )
-    if cover.boundary_cells.size:
-        bnd_pdf = pd.DataFrame(
-            {
-                "cell_id": cover.boundary_cells,
-                "v": np.full(cover.boundary_cells.shape[0], BOUNDARY, dtype=np.int32),
-            }
-        )
-        if cover.res in levels:
-            levels[cover.res] = pd.concat([levels[cover.res], bnd_pdf])
-        else:
-            levels[cover.res] = bnd_pdf
-
-    base = points.filter(bbox_predicate(poly, lon_col, lat_col)).withColumn(
-        "_fc", cell_col(F.col(lon_col), F.col(lat_col), cover.res)
-    )
-    vcols: list[str] = []
-    for r, pdf in sorted(levels.items()):
-        vname, cname = f"_v{r}", f"_ck{r}"
-        vdf = spark.createDataFrame(
-            pdf.rename(columns={"cell_id": cname, "v": vname})
-        )
-        key = cell_parent_col(F.col("_fc"), cover.res - r)
-        base = base.join(F.broadcast(vdf), key == F.col(cname), "left").drop(cname)
-        vcols.append(vname)
-    routed = base.withColumn(
-        "_v", F.coalesce(*[F.col(c) for c in vcols], F.lit(OUTSIDE))
-    )
-    inside = routed.filter(F.col("_v") == INSIDE)
-    bnd = routed.filter(F.col("_v") == BOUNDARY)
-    if cover.boundary_cells.size:
-        pip_bnd = make_boundary_pip_udf(spark, poly, cover, edge_index, arrow_rows_acc)
-        bnd = bnd.filter(pip_bnd(F.col(lon_col), F.col(lat_col), F.col("_fc")))
-    else:
-        bnd = bnd.filter(F.lit(False))
-    out_cols = points.columns
-    return inside.select(*out_cols).unionByName(bnd.select(*out_cols))
+    return make_point_selector(
+        spark, poly, cover, lon_col, lat_col, arrow_rows_acc
+    )(points)
 
 
 def select_nodes(

@@ -94,17 +94,45 @@ def knn_points(
     documented).  Returns FEWER than k rows when the table holds fewer
     than k points inside the maximum disk.  For many queries use
     ``knn_join`` (one equi-join, no per-query driver loop).
+
+    The expansion radius is chosen with ONE aggregation job — per-ring
+    candidate counts (ring = Chebyshev grid distance from the query
+    cell, computed natively) cumulated on the driver — instead of the
+    former per-ring ``limit(k).count()`` loop (up to ``max_rings``
+    driver round-trips).  The final candidate filter still runs on the
+    ``cell_r{res}`` column (``isin`` over the disk), so cell-partitioned
+    layouts keep their partition pruning.
     """
+    from osm_cut_spark.functions.cells_sql import _grid_col
+    from osm_cut_spark.functions.cells import LAT_MAX, LAT_MIN, LON_MAX, LON_MIN
+
     if max_rings < 1:
         raise ValueError("max_rings must be >= 1")
     qcell = int(lonlat_to_cell(np.array([query_lon]), np.array([query_lat]), res)[0])
+    qix, qiy = lonlat_to_grid(np.array([query_lon]), np.array([query_lat]), res)
+    qix, qiy = int(qix[0]), int(qiy[0])
     cell_col = f"cell_r{res}"
-    cand = points.filter(F.col(cell_col) == qcell)
-    for radius in range(1, max_rings + 1):
-        disk = [int(c) for c in cell_disk(qcell, radius)]
-        cand = points.filter(F.col(cell_col).isin(disk))
-        if cand.limit(k).count() >= k:
+    ring = F.greatest(
+        F.abs(_grid_col(F.col("lon"), LON_MIN, LON_MAX, res) - F.lit(qix)),
+        F.abs(_grid_col(F.col("lat"), LAT_MIN, LAT_MAX, res) - F.lit(qiy)),
+    )
+    counts = {
+        r.ring: r.n
+        for r in points.filter(ring <= max_rings)
+        .groupBy(ring.alias("ring"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # minimum radius 1: the one-ring margin the original expansion always
+    # kept (a k-full query cell can still miss a nearer cross-cell point)
+    radius, cum = max_rings, counts.get(0, 0)
+    for r in range(1, max_rings + 1):
+        cum += counts.get(r, 0)
+        if cum >= k:
+            radius = r
             break
+    disk = [int(c) for c in cell_disk(qcell, radius)]
+    cand = points.filter(F.col(cell_col).isin(disk))
     dist = F.sqrt(
         (F.col("lon") - F.lit(query_lon)) ** 2 + (F.col("lat") - F.lit(query_lat)) ** 2
     ).alias("dist")

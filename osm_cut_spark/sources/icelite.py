@@ -98,6 +98,61 @@ class IceLiteTable:
             }
         )
 
+    def compact(
+        self, spark: SparkSession, target_partitions: int | None = None,
+        properties: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Rewrite the current snapshot's data dirs into ONE directory and
+        publish a ``compact`` snapshot over it.
+
+        The small-file antidote for append-heavy tables (one dir per
+        streaming epoch): N epoch dirs collapse to one parquet directory
+        with ``target_partitions`` files (default: Spark decides), so scan
+        task counts stop growing with epoch history.  Old dirs stay on
+        disk for time travel until ``expire_snapshots``.
+        """
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        df = self.read(spark)
+        if target_partitions is not None:
+            df = df.coalesce(int(target_partitions))
+        return self._publish(
+            {
+                "operation": "compact",
+                "parent": cur["snapshot_id"],
+                "data_dirs": [self._write_data(df)],
+                "committed_at": time.time(),
+                "properties": {**(cur.get("properties") or {}), **(properties or {})},
+            }
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Delete snapshot logs older than the last ``keep_last`` and any
+        data dirs no surviving snapshot references.  Returns the number of
+        data dirs removed.  (The Iceberg maintenance analog; time travel
+        only reaches surviving snapshots afterwards.)"""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        files = self._snapshot_files()
+        if len(files) <= keep_last:
+            return 0
+        keep, drop = files[-keep_last:], files[:-keep_last]
+        live = {
+            d for p in keep for d in json.loads(p.read_text())["data_dirs"]
+        }
+        removed = 0
+        for p in drop:
+            for d in json.loads(p.read_text())["data_dirs"]:
+                path = self.data_dir / d
+                if d not in live and path.exists():
+                    shutil.rmtree(path)
+                    removed += 1
+            p.unlink()
+        return removed
+
     # ---------------- reads ----------------
 
     def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:

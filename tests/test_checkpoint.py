@@ -144,3 +144,32 @@ def test_rerun_is_noop(spark, tmp_path):
     assert second["resumed_buckets"] == 4  # all buckets skipped
     assert second["snapshots"] == first["snapshots"]  # no new final commit
     assert second["n_out"] == first["n_out"]
+
+
+def test_icelite_compact_and_expire(spark, tmp_path):
+    """compact() collapses N epoch dirs to one (same rows, properties
+    carried); expire_snapshots() deletes unreferenced data dirs while the
+    surviving snapshots keep reading correctly."""
+    from osm_cut_spark.sources.icelite import IceLiteTable
+
+    tbl = IceLiteTable(tmp_path / "t")
+    for i in range(5):
+        tbl.append(
+            spark.createDataFrame([(i, f"v{i}")], "id LONG, v STRING"),
+            properties={"epoch": i},
+        )
+    assert len(tbl.current_snapshot()["data_dirs"]) == 5
+    snap = tbl.compact(spark, target_partitions=1, properties={"tag": "c"})
+    assert len(snap["data_dirs"]) == 1
+    assert snap["properties"]["tag"] == "c"
+    rows = sorted((r.id, r.v) for r in tbl.read(spark).collect())
+    assert rows == [(i, f"v{i}") for i in range(5)]
+    # appends continue on top of the compacted snapshot
+    tbl.append(spark.createDataFrame([(9, "v9")], "id LONG, v STRING"))
+    assert len(tbl.current_snapshot()["data_dirs"]) == 2
+    # expire everything but the last snapshot: pre-compaction dirs vanish
+    removed = tbl.expire_snapshots(keep_last=1)
+    assert removed == 5  # the five original epoch dirs
+    rows2 = sorted((r.id, r.v) for r in tbl.read(spark).collect())
+    assert rows2 == [(i, f"v{i}") for i in range(5)] + [(9, "v9")]
+    assert len(tbl._snapshot_files()) == 1

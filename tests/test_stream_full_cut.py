@@ -154,3 +154,97 @@ def test_stream_extract_full_non_complete(spark, tmp_path):
     assert got == want
     ways = {r.id: list(r.kept_nds) for r in inc.filter("phase = 2").collect()}
     assert ways == {1: [1, 2, 3, 1]}  # projected intersection, original order
+
+
+def _epoch_elements(e: int) -> list:
+    """One epoch's elements: 2 inside nodes + 1 outside, a way over them
+    (outside ref -> completion), a seed relation on the way, and a
+    non-seed parent relation (closure) — self-contained per epoch, so
+    later epochs never touch earlier relations and the per-epoch
+     'affected' count must stay constant."""
+    base = 100 * e
+    meta = {"version": 1, "timestamp": None, "uid": None, "user": None, "changeset": None}
+    return [
+        {"kind": "node", "id": base + 1, "lon": 1.0 + e * 0.01, "lat": 1.0, "tags": [], **meta},
+        {"kind": "node", "id": base + 2, "lon": 2.0 + e * 0.01, "lat": 1.5, "tags": [], **meta},
+        {"kind": "node", "id": base + 3, "lon": 50.0, "lat": 50.0, "tags": [], **meta},
+        {"kind": "way", "id": 100_000 + e, "nds": [base + 1, base + 2, base + 3], "tags": [], **meta},
+        {"kind": "relation", "id": 200_000 + e,
+         "members": [("way", 100_000 + e, "outer")], "tags": [], **meta},
+        {"kind": "relation", "id": 300_000 + e,
+         "members": [("relation", 200_000 + e, "sub")], "tags": [], **meta},
+    ]
+
+
+def test_stream_extract_full_many_epochs_bounded_and_compacted(spark, tmp_path):
+    """50-epoch run: (1) per-epoch relation work stays CONSTANT while the
+    accumulated relation table grows 50x (snapshot-recorded 'affected'
+    counts), (2) periodic compaction bounds state-table file counts,
+    (3) the final incremental output equals the batch cut of all data."""
+    from osm_cut_spark.functions.geometry import prepare_polygon
+    from osm_cut_spark.sources.icelite import IceLiteTable
+    from osm_cut_spark.streaming.ingest_stream import (
+        read_incremental_cut,
+        stream_extract_full,
+    )
+
+    n_epochs, compact_every = 50, 8
+    poly = prepare_polygon([("include", [(0.0, 0.0), (10.0, 0.0), (10.0, 5.0), (0.0, 5.0)])])
+    from osm_cut_spark.functions.cells import polygon_cell_cover
+
+    cover = polygon_cell_cover(poly, 4, 7)
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    stage = tmp_path / "stage"
+    now = 1_700_000_000.0
+    all_rows = []
+    for e in range(n_epochs):
+        rows = elements_to_doc_rows(_epoch_elements(e), 0, doc_prefix=f"d{e:04d}")
+        all_rows += rows
+        _emit_file(doc_rows_to_spark(spark, rows), stage, src, f"b{e:04d}", now + e)
+
+    out = tmp_path / "cut_out_many"
+    q = stream_extract_full(
+        spark, src, poly, out, complete=True, cover=cover,
+        max_files_per_trigger=1, compact_every=compact_every,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # (1) bounded per-epoch relation work: 'affected' never grows with the
+    # accumulated total (2 new relations per epoch -> small constant)
+    snaps = IceLiteTable(out / "rels_sel").snapshots()
+    affected = [
+        s["properties"]["affected"]
+        for s in snaps
+        if "affected" in s["properties"]
+    ]
+    assert len(affected) == n_epochs
+    assert max(affected[5:]) <= 4, affected  # constant, NOT O(total relations)
+    assert not any(
+        s["properties"].get("fallback_full_refresh") for s in snaps
+    )
+
+    # (2) compaction bounds data-dir counts on append-heavy state tables
+    for name in ("nodes_sel", "ways_sel", "member_idx", "rels_by_id"):
+        dirs = IceLiteTable(out / name).current_snapshot()["data_dirs"]
+        assert len(dirs) <= compact_every + 1, (name, len(dirs))
+
+    # (3) equality with the batch cut over all 50 epochs of data
+    inc = read_incremental_cut(spark, out)
+    got = sorted((r.phase, r.kind, r.id) for r in inc.collect())
+    docs_all = doc_rows_to_spark(spark, all_rows)
+    batch = extract(spark, docs_all, poly, complete=True, cover=cover)
+    want = sorted((r.phase, r.kind, r.id) for r in batch.elements().collect())
+    got_m = {
+        r.id: sorted((m.type, m.ref) for m in r.kept_m)
+        for r in inc.filter("phase = 3").collect()
+    }
+    batch.release()
+    assert got == want
+    # every seed keeps its way, every closure parent keeps its child relation
+    for e in range(n_epochs):
+        assert got_m[200_000 + e] == [("way", 100_000 + e)]
+        assert got_m[300_000 + e] == [("relation", 200_000 + e)]
