@@ -245,7 +245,8 @@ def flagship_main(docs_path: str):
                 "wall_sec": min(times[1:]),
                 "reps_sec": times,
                 "cpus": CPUS,
-                "n_docs": SCALING_DOCS,
+                # count from the data, not the scaling env default
+                "n_docs": docs.count(),
             }
         )
     )
