@@ -98,10 +98,18 @@ def cell_res(cell: np.ndarray) -> np.ndarray:
 
 
 def lonlat_to_grid(lon: np.ndarray, lat: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
-    """Quantize lon/lat to grid coords at ``res`` (clipped to the valid range)."""
+    """Quantize lon/lat to grid coords at ``res`` (clipped to the valid range).
+
+    ``u``/``v`` are clamped to [0, 1] BEFORE the multiply: the product then
+    never exceeds 2^res, so the double->int64 cast is always in range and
+    the native twin (cells_sql._grid_col, whose Spark cast saturates where
+    numpy's astype wraps) is bit-exact for ANY finite input, not just
+    coordinates near the valid domain."""
     n = np.int64(1) << np.int64(res)
     u = (np.asarray(lon, dtype=np.float64) - LON_MIN) / (LON_MAX - LON_MIN)
     v = (np.asarray(lat, dtype=np.float64) - LAT_MIN) / (LAT_MAX - LAT_MIN)
+    u = np.clip(u, 0.0, 1.0)
+    v = np.clip(v, 0.0, 1.0)
     ix = np.clip((u * n).astype(np.int64), 0, n - 1)
     iy = np.clip((v * n).astype(np.int64), 0, n - 1)
     return ix, iy

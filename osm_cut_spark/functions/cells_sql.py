@@ -8,10 +8,12 @@ kNN/raster cell keys and the extract pipeline's cover routing stay
 JVM-side, and ONLY boundary-cell points ever reach the pandas PIP kernel.
 
 Bit-exactness contract: every arithmetic step mirrors the numpy kernel
-operation-for-operation (same IEEE-754 double ops in the same order, and
-double->long casts truncate toward zero in both engines), pinned by
-tests/test_cells.py native-vs-numpy parity tests over grid-edge and random
-points.
+operation-for-operation (same IEEE-754 double ops in the same order; the
+pre-multiply clamp in _grid_col/lonlat_to_grid keeps the double->long cast
+in-range so truncation agrees for ANY finite input), pinned by
+tests/test_cells.py::test_native_cell_col_matches_numpy_bit_exact over
+grid-edge points, ±1 ULP probes, random points, out-of-range extremes and
+the null/NaN -1 sentinel.
 """
 
 from __future__ import annotations
@@ -52,9 +54,15 @@ def _spread_bits_col(v: Column) -> Column:
 
 def _grid_col(coord: Column, lo: float, hi: float, res: int) -> Column:
     """Quantize one coordinate to [0, 2^res) exactly like lonlat_to_grid:
-    u = (c - lo) / (hi - lo); clip(trunc(u * n))."""
+    u = clamp((c - lo) / (hi - lo), 0, 1); clip(trunc(u * n)).
+
+    The pre-multiply clamp keeps u * n inside int64 for ANY finite input,
+    where Spark's double->long cast saturates but numpy's astype wraps —
+    without it the two engines disagree for |coord| ≳ 1e18 (reachable on
+    knn/raster paths that have no bbox prune in front of cell_col)."""
     n = 1 << res
     u = (coord.cast("double") - F.lit(lo)) / F.lit(hi - lo)
+    u = F.least(F.greatest(u, F.lit(0.0)), F.lit(1.0))
     raw = (u * F.lit(float(n))).cast("long")  # cast truncates toward zero, as astype does
     return F.least(F.greatest(raw, F.lit(0).cast("long")), F.lit(n - 1).cast("long"))
 

@@ -307,10 +307,10 @@ def make_point_selector(
     """Build the cover-routing machinery ONCE and return a reusable
     ``points -> selected points`` callable.
 
-    The per-call setup of select_points (edge-index build, per-resolution
-    verdict DataFrames, the boundary-UDF broadcast) is polygon-derived
-    and identical across calls — a streaming query or a multi-cut session
-    pays it once here instead of per microbatch/extract.
+    The per-call setup of select_points (edge-index build, the ONE verdict
+    DataFrame, the boundary-UDF broadcast) is polygon-derived and identical
+    across calls — a streaming query or a multi-cut session pays it once
+    here instead of per microbatch/extract.
     """
     from osm_cut_spark.functions.cells import cell_res
     from osm_cut_spark.functions.cells_sql import cell_col, cell_parent_col
@@ -323,37 +323,40 @@ def make_point_selector(
         else None
     )
 
-    # per-resolution (cell_id, verdict) sets; boundary cells live at cover.res
-    res_of = cell_res(cover.inside_cells)
-    level_pdfs: dict[int, pd.DataFrame] = {}
-    for r in np.unique(res_of):
-        ids = cover.inside_cells[res_of == r]
-        level_pdfs[int(r)] = pd.DataFrame(
-            {"cell_id": ids, "v": np.full(ids.shape[0], INSIDE, dtype=np.int32)}
-        )
-    if cover.boundary_cells.size:
-        bnd_pdf = pd.DataFrame(
+    # ONE (cell_id, verdict) frame for the whole cover.  Cell ids carry a
+    # marker bit above their Morton bits, so ids are globally unique ACROSS
+    # resolutions — inside cells at every level and the boundary cells (at
+    # cover.res) can share a single broadcast hash table, and a point probes
+    # it once with all its ancestor candidates instead of once per level.
+    parts = [
+        pd.DataFrame(
             {
-                "cell_id": cover.boundary_cells,
-                "v": np.full(cover.boundary_cells.shape[0], BOUNDARY, dtype=np.int32),
+                "_ck": cover.inside_cells,
+                "_v": np.full(cover.inside_cells.shape[0], INSIDE, dtype=np.int32),
             }
         )
-        if cover.res in level_pdfs:
-            level_pdfs[cover.res] = pd.concat([level_pdfs[cover.res], bnd_pdf])
-        else:
-            level_pdfs[cover.res] = bnd_pdf
-
-    level_dfs: list[tuple[int, str, str, DataFrame]] = []
-    for r, pdf in sorted(level_pdfs.items()):
-        vname, cname = f"_v{r}", f"_ck{r}"
-        level_dfs.append(
-            (
-                r,
-                vname,
-                cname,
-                spark.createDataFrame(pdf.rename(columns={"cell_id": cname, "v": vname})),
+    ]
+    if cover.boundary_cells.size:
+        parts.append(
+            pd.DataFrame(
+                {
+                    "_ck": cover.boundary_cells,
+                    "_v": np.full(
+                        cover.boundary_cells.shape[0], BOUNDARY, dtype=np.int32
+                    ),
+                }
             )
         )
+    vpdf = pd.concat(parts, ignore_index=True)
+    vdf = spark.createDataFrame(vpdf, schema="_ck long, _v int")
+    levels = sorted(
+        set(np.unique(cell_res(cover.inside_cells)).tolist())
+        | ({cover.res} if cover.boundary_cells.size else set())
+    )
+    if not levels:
+        # degenerate cover (polygon smaller than any cell / no cells at
+        # all): nothing can match — selection is provably empty
+        return lambda points: points.filter(F.lit(False))
     pip_bnd = (
         make_boundary_pip_udf(spark, poly, cover, edge_index, arrow_rows_acc)
         if cover.boundary_cells.size
@@ -361,16 +364,19 @@ def make_point_selector(
     )
 
     def select(points: DataFrame) -> DataFrame:
-        base = points.filter(bbox_predicate(poly, lon_col, lat_col)).withColumn(
-            "_fc", cell_col(F.col(lon_col), F.col(lat_col), cover.res)
+        # bbox prune -> fine cell -> explode the (tiny, n_levels-long)
+        # ancestor-candidate array -> ONE inner broadcast hash join.  The
+        # cover refines disjointly, so at most one ancestor matches: the
+        # inner join both routes and drops OUTSIDE rows, no row ever
+        # duplicates, and the whole probe stays inside one codegen stage.
+        anc = F.array(
+            *[cell_parent_col(F.col("_fc"), cover.res - r) for r in levels]
         )
-        vcols: list[str] = []
-        for r, vname, cname, vdf in level_dfs:
-            key = cell_parent_col(F.col("_fc"), cover.res - r)
-            base = base.join(F.broadcast(vdf), key == F.col(cname), "left").drop(cname)
-            vcols.append(vname)
-        routed = base.withColumn(
-            "_v", F.coalesce(*[F.col(c) for c in vcols], F.lit(OUTSIDE))
+        routed = (
+            points.filter(bbox_predicate(poly, lon_col, lat_col))
+            .withColumn("_fc", cell_col(F.col(lon_col), F.col(lat_col), cover.res))
+            .withColumn("_ack", F.explode(anc))
+            .join(F.broadcast(vdf), F.col("_ack") == F.col("_ck"), "inner")
         )
         inside = routed.filter(F.col("_v") == INSIDE)
         bnd = routed.filter(F.col("_v") == BOUNDARY)
@@ -403,11 +409,14 @@ def select_points(
     1. native bbox prune (Catalyst-visible, pushdown-friendly);
     2. native fine-cell id (``cells_sql.cell_col`` — bit-exact twin of
        lonlat_to_cell, pure codegen integer math);
-    3. one BroadcastHashJoin per cover resolution against that level's
-       (cell_id, verdict) set — the cover refines disjointly, so at most
-       one level hits and ``coalesce`` of the verdicts is THE verdict;
+    3. ONE inner BroadcastHashJoin: the point explodes its (n_levels-long)
+       ancestor-cell array and probes a single (cell_id, verdict) table —
+       cell ids are resolution-tagged (marker bit) so all cover levels
+       share one hash table, the cover refines disjointly so at most one
+       ancestor matches (no duplication), and unmatched (OUTSIDE) rows
+       drop in the join itself;
     4. uniform cells resolve right there: verdict==INSIDE rows are kept
-       with no Python at all, unmatched rows drop;
+       with no Python at all;
     5. ONLY verdict==BOUNDARY rows (typically 2-50x fewer than the bbox
        survivors) enter the ArrowEvalPython edge-subset kernel
        (make_boundary_pip_udf), as a separate union branch so the Arrow
@@ -978,12 +987,19 @@ def extract(
     cover: CellCover | None = None,
     assume_sorted: bool = True,
     doc_grouped_output: bool = False,
+    selector=None,
 ) -> ExtractResult:
     """Full polygon-cut extraction over an interleaved-docs DataFrame.
 
     ``doc_grouped_output=True`` joins selections back per DOCUMENT instead
     of per element — pair with a doc_id-bucketed docs table to keep the
     wide span data entirely shuffle-free.
+
+    ``selector``: a prebuilt ``make_point_selector(spark, poly, ...)``
+    callable.  Repeated cuts of the SAME polygon (benchmark reps,
+    interactive sessions, streaming epochs) should build it once and pass
+    it here — the cover/edge-index build and the verdict-frame broadcast
+    are per-polygon setup, not per-cut work.
 
     Late-materialization architecture: ALL selection logic (PIP, semi-
     joins, closure) runs over one cached NARROW frame (ids/geometry/refs
@@ -1008,7 +1024,9 @@ def extract(
     if cover is None:
         cover = auto_cover(poly)
 
-    nodes_sel = select_nodes(spark, nodes, poly, cover)
+    if selector is None:
+        selector = make_point_selector(spark, poly, cover)
+    nodes_sel = selector(nodes.filter(F.col("id").isNotNull()))
     sel_node_ids = nodes_sel.select(F.col("id").alias("node_id")).distinct()
     ways_sel = select_ways(ways, sel_node_ids, complete)
     return finish_extract(

@@ -233,3 +233,79 @@ def test_route_points_matches_direct_pip_hypothesis(seed):
     routed = _route_points(poly, cover, inside_by_res, X, Y, ei)
     direct = poly.contains(X, Y)
     assert np.array_equal(routed, direct)
+
+
+def test_native_cell_col_matches_numpy_bit_exact(spark):
+    """THE bit-exactness contract of cells_sql: cell_col / cell_parent_col
+    agree with lonlat_to_cell / cell_parent on every probe class that can
+    expose truncation-edge drift between the codegen twin and numpy —
+    exact grid-boundary coordinates at several resolutions, ±1 ULP around
+    them, 10k random points, out-of-range extremes (|coord| up to 1e30 and
+    ±inf, where the pre-multiply clamp keeps the two engines' long casts
+    identical), and the null/NaN -> -1 sentinel incl. the -1 parent guard.
+
+    A misroute between same-verdict cells passes every end-to-end test
+    silently; only this direct comparison pins the kernel itself.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osm_cut_spark.functions.cells_sql import cell_col, cell_parent_col
+
+    RES = [0, 1, 4, 7, 10, 15]
+
+    def edge_coords(lo: float, hi: float) -> np.ndarray:
+        vals = [lo, hi]
+        for res in RES:
+            n = 1 << res
+            for k in {0, 1, 2, n // 3, n // 2, n - 1, n}:
+                k = min(max(k, 0), n)
+                x = lo + (hi - lo) * (k / n)
+                vals += [x, np.nextafter(x, -np.inf), np.nextafter(x, np.inf)]
+        return np.unique(np.array(vals, dtype=np.float64))
+
+    lon_e, lat_e = edge_coords(C.LON_MIN, C.LON_MAX), edge_coords(C.LAT_MIN, C.LAT_MAX)
+    # cross-product of the edge coordinates (every lon-edge against every
+    # lat-edge), then random + extreme points paired elementwise
+    LON, LAT = np.meshgrid(lon_e, lat_e)
+    rng = np.random.default_rng(47)
+    extremes = np.array(
+        [0.0, 1e18, -1e18, 1e30, -1e30, np.inf, -np.inf], dtype=np.float64
+    )
+    X = np.concatenate([LON.ravel(), rng.uniform(-200, 200, 10_000), extremes])
+    Y = np.concatenate([LAT.ravel(), rng.uniform(-100, 100, 10_000), extremes[::-1]])
+
+    df = spark.createDataFrame(pd.DataFrame({"lon": X, "lat": Y}))
+    cols, want = [], {}
+    for res in RES:
+        ref = C.lonlat_to_cell(X, Y, res)
+        cols.append(cell_col(F.col("lon"), F.col("lat"), res).alias(f"c{res}"))
+        want[f"c{res}"] = ref
+        for steps in {1, res // 2, res}:
+            if steps == 0:
+                continue
+            cols.append(
+                cell_parent_col(
+                    cell_col(F.col("lon"), F.col("lat"), res), steps
+                ).alias(f"p{res}_{steps}")
+            )
+            want[f"p{res}_{steps}"] = C.cell_parent(ref, steps)
+    got = df.select(*cols).toPandas()
+    for name, ref in want.items():
+        g = got[name].to_numpy(dtype=np.int64)
+        assert np.array_equal(g, ref), (
+            name,
+            int(np.nonzero(g != ref)[0][0]),
+            X[np.nonzero(g != ref)[0][0]],
+            Y[np.nonzero(g != ref)[0][0]],
+        )
+
+    # null / NaN sentinel: cell id -1, and the parent guard keeps -1
+    bad = spark.createDataFrame(
+        pd.DataFrame({"lon": [np.nan, 1.0, None], "lat": [1.0, np.nan, None]})
+    )
+    out = bad.select(
+        cell_col(F.col("lon"), F.col("lat"), 10).alias("c"),
+        cell_parent_col(cell_col(F.col("lon"), F.col("lat"), 10), 3).alias("p"),
+    ).collect()
+    assert all(r.c == -1 and r.p == -1 for r in out)

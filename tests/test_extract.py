@@ -263,10 +263,12 @@ def test_no_selection_yields_empty(spark, fixture):
 
 
 def test_select_points_native_routing_plan_and_parity(spark):
-    """Cover routing is native: the plan has exactly ONE ArrowEvalPython
-    (the boundary-cell branch — uniform-cell points never cross the Arrow
-    boundary), one BroadcastHashJoin per cover resolution level, and the
-    result equals the direct polygon kernel on a non-convex polygon."""
+    """Cover routing is native AND single-join: the plan has exactly ONE
+    ArrowEvalPython (the boundary-cell branch — uniform-cell points never
+    cross the Arrow boundary) and at most one BroadcastHashJoin per union
+    branch (ancestor-explode probe of the single verdict table — NOT one
+    join per cover level, the round-4 regression), and the result equals
+    the direct polygon kernel on a non-convex polygon."""
     import numpy as np
     import pandas as pd
 
@@ -292,9 +294,10 @@ def test_select_points_native_routing_plan_and_parity(spark):
         set(np.unique(cell_res(cover.inside_cells)).tolist())
         | ({cover.res} if cover.boundary_cells.size else set())
     )
+    assert n_levels > 1  # the fixture genuinely has a multi-level cover
     assert plan.count("ArrowEvalPython") == 1, plan[:3000]
-    # each union branch re-plans the routed frame -> 2x the level joins
-    assert plan.count("BroadcastHashJoin") == 2 * n_levels, plan[:3000]
+    # ONE verdict join per union branch, regardless of cover depth
+    assert plan.count("BroadcastHashJoin") <= 2, plan[:3000]
 
 
 def test_select_points_boundary_only_arrow_rows(spark):
