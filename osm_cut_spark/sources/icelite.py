@@ -57,7 +57,11 @@ class IceLiteTable:
 
     def _publish(self, snap: dict[str, Any]) -> dict[str, Any]:
         self.snap_dir.mkdir(parents=True, exist_ok=True)
-        seq = len(self._snapshot_files())
+        # continue from the last LIVE sequence, not the live file count —
+        # expire_snapshots archives old logs, so count would collide with
+        # archived names (and break the monotone commit order)
+        files = self._snapshot_files()
+        seq = (int(files[-1].stem.split("-")[1]) + 1) if files else 0
         snap["sequence"] = seq
         snap["snapshot_id"] = f"{seq:08d}-{uuid.uuid4().hex[:8]}"
         tmp = self.snap_dir / f".tmp-{uuid.uuid4().hex}.json"
@@ -127,11 +131,19 @@ class IceLiteTable:
             }
         )
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
-        """Delete snapshot logs older than the last ``keep_last`` and any
-        data dirs no surviving snapshot references.  Returns the number of
-        data dirs removed.  (The Iceberg maintenance analog; time travel
-        only reaches surviving snapshots afterwards.)"""
+    def expire_snapshots(self, keep_last: int = 1, archive: bool = True) -> int:
+        """Expire snapshot logs older than the last ``keep_last`` and delete
+        any data dirs no surviving snapshot references.  Returns the number
+        of data dirs removed.  (The Iceberg maintenance analog; time travel
+        only reaches surviving snapshots afterwards.)
+
+        ``archive=True`` (default) moves the expired snapshot JSONs to
+        ``snapshots/archive/`` instead of unlinking them: the DATA (the
+        disk cost) is reclaimed either way, while per-commit operational
+        metadata (epoch tags, the streaming 'affected' counters) stays
+        inspectable via ``snapshot_history()`` at a few hundred bytes per
+        commit — the stand-in for the metrics sink a real deployment would
+        ship those properties to."""
         import shutil
 
         if keep_last < 1:
@@ -144,14 +156,27 @@ class IceLiteTable:
             d for p in keep for d in json.loads(p.read_text())["data_dirs"]
         }
         removed = 0
+        arch = self.snap_dir / "archive"
         for p in drop:
             for d in json.loads(p.read_text())["data_dirs"]:
                 path = self.data_dir / d
                 if d not in live and path.exists():
                     shutil.rmtree(path)
                     removed += 1
-            p.unlink()
+            if archive:
+                arch.mkdir(parents=True, exist_ok=True)
+                os.rename(p, arch / p.name)
+            else:
+                p.unlink()
         return removed
+
+    def snapshot_history(self) -> list[dict[str, Any]]:
+        """All snapshot metadata in commit order, INCLUDING archived
+        (expired) snapshots — for metrics/audit; only ``snapshots()``
+        entries are readable."""
+        arch = self.snap_dir / "archive"
+        files = sorted(arch.glob("snap-*.json")) if arch.exists() else []
+        return [json.loads(p.read_text()) for p in files] + self.snapshots()
 
     # ---------------- reads ----------------
 

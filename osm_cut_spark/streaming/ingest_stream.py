@@ -121,6 +121,7 @@ def stream_extract_full(
     incremental: bool = True,
     compact_every: int = 16,
     driver_max_edges: int = 2_000_000,
+    driver_max_delta_keys: int = 2_000_000,
 ):
     """Full incremental cut: nodes, completion nodes, ways AND relations
     maintained per microbatch — the streaming analog of the reference's
@@ -238,8 +239,16 @@ def stream_extract_full(
                 comp_b = X.completion_nodes(
                     ways_sel_b, nodes_all_tbl.read(spark), sel_node_ids
                 )
-                if comp_sel_tbl.exists():
-                    prev = comp_sel_tbl.read(spark).select(F.col("id").alias("node_id"))
+                # replay hazard: on a mid-epoch restart comp_sel_tbl may
+                # already hold THIS epoch's append — anti-joining against
+                # the current table would empty comp_b and the incremental
+                # path's delta keys would silently lose this epoch's
+                # completion nodes FOREVER (the delta is monotone and never
+                # revisits old keys).  Anti-join against the pre-epoch
+                # snapshot instead (same replay-stable view rel_seeds uses).
+                prev_comp = _read_before_epoch(comp_sel_tbl, spark, epoch_id)
+                if prev_comp is not None:
+                    prev = prev_comp.select(F.col("id").alias("node_id"))
                     comp_b = comp_b.join(
                         prev, comp_b.id == prev.node_id, "left_anti"
                     )
@@ -261,6 +270,7 @@ def stream_extract_full(
                     ways_sel_b, keys, bcast, driver_max_edges,
                     member_idx_tbl, rels_by_id_tbl,
                     rel_seeds_tbl, rels_sel_tbl, rels_all_tbl,
+                    driver_max_delta_keys=driver_max_delta_keys,
                 )
             else:
                 rels_all = rels_all_tbl.read(spark)
@@ -281,6 +291,23 @@ def stream_extract_full(
                 ):
                     if tbl.exists() and len(tbl.current_snapshot()["data_dirs"]) > 1:
                         tbl.compact(spark, properties={"epoch": f"compact-{epoch_id}"})
+                # bound ON-DISK state too, not just live scan file counts:
+                # expire snapshots older than the last few.  keep_last=4 is
+                # the replay-safety floor with margin — only the LAST epoch
+                # can replay after a restart, and its exactly-once guards
+                # (_append_once tags + the rels_sel epoch marker) and
+                # _read_before_epoch's parent read all live within the last
+                # 3 snapshots of any table (epoch commit + its parent +
+                # this compact commit).  rels_sel (overwrite-per-epoch, so
+                # never compacted) is expired on the same cadence or its
+                # superseded overwrite dirs survive forever.
+                for tbl in (
+                    nodes_sel_tbl, nodes_all_tbl, ways_sel_tbl, comp_sel_tbl,
+                    rels_all_tbl, member_idx_tbl,
+                    rels_by_id_tbl, rel_seeds_tbl, rels_sel_tbl,
+                ):
+                    if tbl.exists():
+                        tbl.expire_snapshots(keep_last=4)
         finally:
             narrow.unpersist()
 
@@ -317,6 +344,44 @@ def _read_before_epoch(tbl: IceLiteTable, spark: SparkSession, epoch_id: int):
     return tbl.read(spark, snapshot_id=parent)
 
 
+def _relation_full_refresh(
+    spark: SparkSession,
+    epoch_id: int,
+    keys: DataFrame,
+    bcast: bool,
+    rels_all_tbl: IceLiteTable,
+    rel_seeds_tbl: IceLiteTable,
+    rels_sel_tbl: IceLiteTable,
+    reason: str,
+) -> None:
+    """Whole-table relation-selection recompute for one epoch (the escape
+    hatch when a driver-side delta structure exceeds its cap).
+
+    Commit ORDER is load-bearing: ``rel_seeds`` commits FIRST, ``rels_sel``
+    (the epoch-done marker that makes process_batch skip replays) LAST.  A
+    crash between the two then simply replays the epoch; the inverted order
+    would leave the epoch marked done with rel_seeds missing its seeds, and
+    a later epoch's affected-only kept_m recompute could classify a true
+    seed relation as closure-only and silently drop its node/way members.
+    """
+    rels_all = rels_all_tbl.read(spark)
+    seeds_full = (
+        X._member_hits(rels_all, keys, bcast)
+        .join(rels_all, ["doc_id", "offset"])
+        .select(F.col("id").alias("rid"))
+        .distinct()
+    )
+    rel_seeds_tbl.overwrite(seeds_full, properties={"epoch": epoch_id})
+    rel_out = X.relation_outputs(rels_all, keys, True, broadcast_keys=bcast)
+    refreshed = rel_out.join(
+        rels_all.select("doc_id", "offset", "id"), ["doc_id", "offset"]
+    ).select("doc_id", "offset", "id", "kept_m")
+    rels_sel_tbl.overwrite(
+        refreshed,
+        properties={"epoch": epoch_id, "fallback_full_refresh": reason},
+    )
+
+
 def _maintain_relations_incremental(
     spark: SparkSession,
     epoch_id: int,
@@ -332,6 +397,7 @@ def _maintain_relations_incremental(
     rel_seeds_tbl: IceLiteTable,
     rels_sel_tbl: IceLiteTable,
     rels_all_tbl: IceLiteTable,
+    driver_max_delta_keys: int = 2_000_000,
 ) -> None:
     """Delta relation maintenance for one epoch (complete mode).
 
@@ -390,7 +456,17 @@ def _maintain_relations_incremental(
     delta_keys = parts[0]
     for p in parts[1:]:
         delta_keys = delta_keys.unionByName(p)
-    delta_key_set = {r.k for r in delta_keys.distinct().collect()}
+    # the delta-key pull is driver-side state like the edge graph — cap it
+    # the same way (dense early epochs of a big cut can select millions of
+    # keys in one batch) and fall back to the whole-table refresh
+    delta_rows = delta_keys.distinct().take(driver_max_delta_keys + 1)
+    if len(delta_rows) > driver_max_delta_keys:
+        _relation_full_refresh(
+            spark, epoch_id, keys, bcast,
+            rels_all_tbl, rel_seeds_tbl, rels_sel_tbl, "delta_keys_cap",
+        )
+        return
+    delta_key_set = {r.k for r in delta_rows}
     delta_bkts = sorted({k % N_KEY_BUCKETS for k in delta_key_set})
     delta_df = spark.createDataFrame(
         pd.DataFrame({"k": np.array(sorted(delta_key_set), dtype=np.int64)})
@@ -412,9 +488,16 @@ def _maintain_relations_incremental(
     )
     idx = member_idx_tbl.read(spark).filter(F.col("bkt").isin(delta_bkts))
     hits_old = idx.join(F.broadcast(delta_df), "k", "left_semi").select("rid")
-    cand_set = {
-        r.rid for r in seeds_batch.unionByName(hits_old).distinct().collect()
-    }
+    cand_rows = seeds_batch.unionByName(hits_old).distinct().take(
+        driver_max_delta_keys + 1
+    )
+    if len(cand_rows) > driver_max_delta_keys:
+        _relation_full_refresh(
+            spark, epoch_id, keys, bcast,
+            rels_all_tbl, rel_seeds_tbl, rels_sel_tbl, "candidate_cap",
+        )
+        return
+    cand_set = {r.rid for r in cand_rows}
 
     # 5. edge graph (all relation->relation links) — ONE take() probes the
     # size cap and fetches the rows
@@ -424,21 +507,10 @@ def _maintain_relations_incremental(
     edge_rows = edges_df.take(driver_max_edges + 1)
     if len(edge_rows) > driver_max_edges:
         # edge graph outgrew the driver worklist: full refresh this epoch
-        rels_all = rels_all_tbl.read(spark)
-        rel_out = X.relation_outputs(rels_all, keys, True, broadcast_keys=bcast)
-        refreshed = rel_out.join(
-            rels_all.select("doc_id", "offset", "id"), ["doc_id", "offset"]
-        ).select("doc_id", "offset", "id", "kept_m")
-        rels_sel_tbl.overwrite(
-            refreshed, properties={"epoch": epoch_id, "fallback_full_refresh": True}
+        _relation_full_refresh(
+            spark, epoch_id, keys, bcast,
+            rels_all_tbl, rel_seeds_tbl, rels_sel_tbl, "edge_graph_cap",
         )
-        seeds_full = (
-            X._member_hits(rels_all, keys, bcast)
-            .join(rels_all, ["doc_id", "offset"])
-            .select(F.col("id").alias("rid"))
-            .distinct()
-        )
-        rel_seeds_tbl.overwrite(seeds_full, properties={"epoch": epoch_id})
         return
 
     edges = [(r.child, r.parent) for r in edge_rows]

@@ -173,3 +173,35 @@ def test_icelite_compact_and_expire(spark, tmp_path):
     rows2 = sorted((r.id, r.v) for r in tbl.read(spark).collect())
     assert rows2 == [(i, f"v{i}") for i in range(5)] + [(9, "v9")]
     assert len(tbl._snapshot_files()) == 1
+
+
+def test_icelite_expire_archives_history_and_sequences_continue(spark, tmp_path):
+    """expire_snapshots reclaims data dirs but ARCHIVES the commit metadata:
+    snapshot_history() still shows every commit (epoch tags / metrics
+    properties), and new commits continue the sequence numbering instead of
+    colliding with archived log names."""
+    from osm_cut_spark.sources.icelite import IceLiteTable
+
+    tbl = IceLiteTable(tmp_path / "t")
+    for i in range(6):
+        tbl.append(
+            spark.createDataFrame([(i,)], "id LONG"), properties={"epoch": i}
+        )
+    removed = tbl.expire_snapshots(keep_last=2)
+    assert removed == 0  # appends: every old dir is still referenced
+    assert len(tbl.snapshots()) == 2
+    hist = tbl.snapshot_history()
+    assert [s["properties"]["epoch"] for s in hist] == list(range(6))
+
+    # sequences continue past the archived names
+    tbl.compact(spark, properties={"epoch": "c"})
+    tbl.expire_snapshots(keep_last=1)  # drops pre-compaction dirs
+    assert sorted(r.id for r in tbl.read(spark).collect()) == list(range(6))
+    snap = tbl.append(spark.createDataFrame([(9,)], "id LONG"), properties={"epoch": 9})
+    assert snap["sequence"] == 7  # 6 appends + compact came before
+    seqs = [s["sequence"] for s in tbl.snapshot_history()]
+    assert seqs == sorted(seqs) and len(seqs) == len(set(seqs))
+    # on-disk data dirs: exactly the live set
+    live = set(tbl.current_snapshot()["data_dirs"])
+    on_disk = {p.name for p in tbl.data_dir.iterdir() if p.is_dir()}
+    assert len(on_disk) == 2 and live <= on_disk

@@ -214,8 +214,10 @@ def test_stream_extract_full_many_epochs_bounded_and_compacted(spark, tmp_path):
         q.stop()
 
     # (1) bounded per-epoch relation work: 'affected' never grows with the
-    # accumulated total (2 new relations per epoch -> small constant)
-    snaps = IceLiteTable(out / "rels_sel").snapshots()
+    # accumulated total (2 new relations per epoch -> small constant).
+    # snapshot_history() includes EXPIRED commits — expiry reclaims data
+    # dirs but archives the per-epoch metrics metadata
+    snaps = IceLiteTable(out / "rels_sel").snapshot_history()
     affected = [
         s["properties"]["affected"]
         for s in snaps
@@ -227,10 +229,22 @@ def test_stream_extract_full_many_epochs_bounded_and_compacted(spark, tmp_path):
         s["properties"].get("fallback_full_refresh") for s in snaps
     )
 
-    # (2) compaction bounds data-dir counts on append-heavy state tables
-    for name in ("nodes_sel", "ways_sel", "member_idx", "rels_by_id"):
-        dirs = IceLiteTable(out / name).current_snapshot()["data_dirs"]
-        assert len(dirs) <= compact_every + 1, (name, len(dirs))
+    # (2) compaction bounds LIVE data-dir counts on append-heavy state
+    # tables, and snapshot expiry bounds the ON-DISK dir and live-log
+    # counts too (old dirs no longer survive forever for time travel) —
+    # ~2 compaction cycles of slack, NOT O(epochs)
+    for name in (
+        "nodes_sel", "nodes_all", "ways_sel", "comp_sel", "rels_all",
+        "member_idx", "rels_by_id", "rel_seeds", "rels_sel",
+    ):
+        t = IceLiteTable(out / name)
+        live = t.current_snapshot()["data_dirs"]
+        assert len(live) <= compact_every + 1, (name, len(live))
+        on_disk = [p for p in t.data_dir.iterdir() if p.is_dir()]
+        assert len(on_disk) <= 2 * compact_every, (name, len(on_disk))
+        assert len(t.snapshots()) <= 2 * compact_every, name
+        # full commit history still inspectable after expiry
+        assert len(t.snapshot_history()) >= n_epochs, name
 
     # (3) equality with the batch cut over all 50 epochs of data
     inc = read_incremental_cut(spark, out)
