@@ -388,6 +388,7 @@ def ivf_knn_join(
     q_id_col: str = "qid",
     vec_col: str = "embedding",
     seed: int = 42,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Batch IVF ANN join: every query row gets its top-k data vectors by
     exact cosine among the ``n_probe`` nearest inverted lists — the
@@ -395,6 +396,15 @@ def ivf_knn_join(
     partition-pruned ANN layout a 100 TB corpus would use: ``_list`` is
     the Iceberg partition / bucket key, so a probe touches ~n_probe/k of
     the data files.
+
+    ``metrics`` (optional dict) receives the recall observability the
+    approximation needs at ``n_probe < n_centroids`` (same lazy-DataFrame
+    pattern as the LSH caps — an explicit separate job, see
+    session.observed_metrics): ``candidates_per_query`` (per-query
+    candidate counts after probing — a query whose count is far below the
+    corpus size is where recall can hide) and ``empty_probe_queries``
+    (one-row count of queries whose probed lists held NO vectors at all,
+    i.e. guaranteed-empty results).
 
     Physical shape mirrors ``lsh_knn_join``: one assignment pass per side
     (queries explode to their n_probe lists), ONE list equi-join where
@@ -429,6 +439,16 @@ def ivf_knn_join(
         .select("_qid", "_did")
         .dropDuplicates(["_qid", "_did"])
     )
+    if metrics is not None:
+        per_q = cand.groupBy("_qid").agg(F.count(F.lit(1)).alias("n_candidates"))
+        metrics["candidates_per_query"] = per_q.select(
+            F.col("_qid").alias(q_id_col), "n_candidates"
+        )
+        metrics["empty_probe_queries"] = (
+            queries.select(F.col(q_id_col).alias("_qid"))
+            .join(per_q, "_qid", "left_anti")
+            .agg(F.count(F.lit(1)).alias("empty_probe_queries"))
+        )
     dv = embeddings.select(
         F.col(id_col).alias("_did"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_dv"),

@@ -342,3 +342,48 @@ def test_cosine_dup_metrics_report_dropped_buckets(spark):
         spark, emb, threshold=0.35, n_bands=16, dim=64, max_bucket=2, metrics=m1
     ).collect()
     assert m1["dropped_buckets"].first()[0] > 0
+
+
+def test_ivf_knn_join_recall_metrics_observe_missed_neighbor(spark):
+    """At n_probe < n_centroids a query's TRUE nearest neighbor can live in
+    an unprobed list — the join silently returns a worse neighbor.  The
+    metrics dict makes that observable: candidates_per_query shows the
+    query saw only its probed list's vectors (8 of 17 here), and
+    empty_probe_queries counts queries with no candidates at all.  Fixture
+    is angle-engineered: clusters at ~0 deg and ~90 deg (centroids land at
+    ~3 / ~91 deg), a bridge vector at 50 deg assigns to the 90-deg list,
+    and the query at 40 deg probes the 0-deg list first."""
+    import pandas as pd
+
+    from osm_cut_spark.operators.simsearch import ivf_knn_join
+
+    def vec(deg):
+        r = np.deg2rad(deg)
+        return [float(np.cos(r)), float(np.sin(r))]
+
+    rows = [(i, vec(float(i))) for i in range(8)]
+    rows += [(100 + i, vec(88 + i * 0.5)) for i in range(8)]
+    rows.append((999, vec(50.0)))  # true NN of the query, in the 90-deg list
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+        )
+    )
+    qs = spark.createDataFrame(pd.DataFrame({"qid": [1], "embedding": [vec(40.0)]}))
+
+    m = {}
+    out = ivf_knn_join(spark, emb, qs, k=1, n_centroids=2, n_probe=1, metrics=m)
+    got = out.collect()
+    assert [(r.qid, r.vec_id) for r in got] == [(1, 7)]  # the miss: NOT 999
+    cand = {r.qid: r.n_candidates for r in m["candidates_per_query"].collect()}
+    assert cand == {1: 8}  # probed one list of 8, corpus is 17 — visible
+    assert m["empty_probe_queries"].first()[0] == 0
+
+    # widening the probe recovers the true neighbor (and the metric shows
+    # the full corpus was scanned)
+    m2 = {}
+    out2 = ivf_knn_join(spark, emb, qs, k=1, n_centroids=2, n_probe=2, metrics=m2)
+    assert [(r.qid, r.vec_id) for r in out2.collect()] == [(1, 999)]
+    assert {r.qid: r.n_candidates for r in m2["candidates_per_query"].collect()} == {
+        1: 17
+    }
