@@ -463,6 +463,15 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Text analysis: Gopher-style repetition signals — top-word count/
+    fraction, longest same-word run, duplicate 2-/3-gram fractions — all
+    per-row JVM higher-order folds (no explode, no shuffle)."""
+    from osm_cut_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_clean_corpus(spark, sf_dir):
     """Composed pretraining cleanup: lang filter -> quality floor -> exact
     dedup survivor -> near-dup cluster representative.  Every stage is
@@ -807,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_family": q_lang_family,
         "vocab_topk": q_vocab_topk,
+        "repetition_stats": q_repetition_stats,
         "fingerprint": q_fingerprint,
         "clean_corpus": q_clean_corpus,
         "raster_vector_join": q_raster_vector_join,
@@ -1025,6 +1035,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
             FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 50
+        """,
+        "repetition_stats": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks) + 1),
+                                             i -> {'p': i, 'w': toks[i]})) AS u
+                FROM t
+            ),
+            wc AS (
+                SELECT doc_id, u.w AS w, count(*) AS c
+                FROM pos GROUP BY doc_id, u.w
+            ),
+            top AS (
+                SELECT doc_id, CAST(max(c) AS INT) AS top_word_count FROM wc GROUP BY doc_id
+            ),
+            runs AS (
+                -- gaps-and-islands: consecutive positions of the same word
+                SELECT doc_id, CAST(max(cnt) AS INT) AS max_word_run FROM (
+                    SELECT doc_id, count(*) AS cnt FROM (
+                        SELECT doc_id, u.w AS w, u.p AS p,
+                               u.p - ROW_NUMBER() OVER (PARTITION BY doc_id, u.w ORDER BY u.p) AS grp
+                        FROM pos
+                    ) GROUP BY doc_id, w, grp
+                ) GROUP BY doc_id
+            ),
+            g AS (
+                SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)),
+                                                i -> toks[i] || ' ' || toks[i+1])
+                            ELSE []::VARCHAR[] END AS g2,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                            ELSE []::VARCHAR[] END AS g3
+                FROM t
+            )
+            SELECT g.doc_id, g.n_words,
+                   COALESCE(top.top_word_count, 0) AS top_word_count,
+                   COALESCE(runs.max_word_run, 0) AS max_word_run,
+                   CASE WHEN g.n_words > 0
+                        THEN CAST(top.top_word_count AS DOUBLE) / CAST(g.n_words AS DOUBLE)
+                        ELSE 0.0 END AS top_word_frac,
+                   CASE WHEN len(g2) > 0
+                        THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+                        ELSE 0.0 END AS dup_2gram_frac,
+                   CASE WHEN len(g3) > 0
+                        THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+                        ELSE 0.0 END AS dup_3gram_frac
+            FROM g LEFT JOIN top USING (doc_id) LEFT JOIN runs USING (doc_id)
         """,
         "clean_corpus": _clean_corpus_sql(),
         "fingerprint": f"""

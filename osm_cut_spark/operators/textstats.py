@@ -109,6 +109,90 @@ def vocab_topk(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition/quality signals, entirely shuffle-free.
+
+    Per document: token count, the most-frequent word's count and
+    fraction, the longest consecutive same-word run, and the duplicate
+    2-/3-gram fractions (1 - distinct/total) — the standard repetition
+    filters a pretraining cleanup pass applies before dedup (high
+    duplicate-n-gram fraction = boilerplate/spam; long word runs =
+    degenerate generation or markup residue).
+
+    100 TB plan shape: every signal is a per-row JVM higher-order fold
+    (``aggregate`` over the sorted token array for the top-word count,
+    over the raw array for the run length; ``zip_with`` shifted slices
+    for the n-grams) — NO explode, NO shuffle, no Python; the whole
+    operator is one narrow projection inside whole-stage codegen, so it
+    composes with any scan at any scale.  Fractions keep the exact
+    integer-subtraction-then-divide shape so the DuckDB oracle replays
+    them bit-for-bit.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    t = F.col("_toks")
+    n = F.size(t)
+
+    def max_run(arr):
+        """Longest run of equal adjacent elements via one sequential fold
+        (state: previous token, current run, best run)."""
+        init = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+
+        def step(acc, x):
+            run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run2.alias("run"),
+                F.greatest(acc["best"], run2).alias("best"),
+            )
+
+        return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+    # the max run of the SORTED array is the max term frequency
+    top_count = max_run(F.array_sort(t))
+    run_len = max_run(t)
+    g2 = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g3 = F.when(
+        n >= 3,
+        F.zip_with(
+            F.slice(t, 1, n - 2),
+            F.zip_with(
+                F.slice(t, 2, n - 2), F.slice(t, 3, n - 2),
+                lambda b, c: F.concat_ws(" ", b, c),
+            ),
+            lambda a, bc: F.concat_ws(" ", a, bc),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(g):
+        tot, dst = F.size(g), F.size(F.array_distinct(g))
+        return F.when(
+            tot > 0, (tot - dst).cast("double") / tot.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return base.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        top_count.alias("top_word_count"),
+        run_len.alias("max_word_run"),
+        F.when(n > 0, top_count.cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("top_word_frac"),
+        dup_frac(g2).alias("dup_2gram_frac"),
+        dup_frac(g3).alias("dup_3gram_frac"),
+    )
+
+
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", replayable: bool = False
 ) -> DataFrame:

@@ -133,6 +133,37 @@ def test_token_stats_values(spark):
     assert r.n_bpe_tokens == 6
 
 
+def test_repetition_stats_values_and_plan(spark):
+    from osm_cut_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),          # top a=3/5; runs all len 1; 2g: ab ba ab ba -> 2 dup of 4; 3g: aba bab aba -> 1 dup of 3
+            (2, "x x x y"),            # top x=3/4, run 3; 2g: xx xx xy -> 1/3; 3g: xxx xxy -> 0/2
+            (3, "solo"),               # single word: no n-grams
+            (4, ""),                   # empty text -> zero everything
+        ],
+        "doc_id LONG, text STRING",
+    )
+    r = {x.doc_id: x for x in repetition_stats(df).collect()}
+    assert (r[1].n_words, r[1].top_word_count, r[1].max_word_run) == (5, 3, 1)
+    assert r[1].top_word_frac == 3 / 5
+    assert r[1].dup_2gram_frac == 2 / 4
+    assert r[1].dup_3gram_frac == 1 / 3
+    assert (r[2].n_words, r[2].top_word_count, r[2].max_word_run) == (4, 3, 3)
+    assert r[2].dup_2gram_frac == 1 / 3
+    assert r[2].dup_3gram_frac == 0.0
+    assert (r[3].n_words, r[3].top_word_count, r[3].max_word_run) == (1, 1, 1)
+    assert (r[3].dup_2gram_frac, r[3].dup_3gram_frac) == (0.0, 0.0)
+    assert (r[4].n_words, r[4].top_word_count, r[4].max_word_run) == (0, 0, 0)
+    assert (r[4].top_word_frac, r[4].dup_2gram_frac) == (0.0, 0.0)
+
+    # 100 TB shape: one narrow projection — no shuffle, no Python
+    explained = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in explained
+    assert "EvalPython" not in explained
+
+
 def test_quality_and_lang(spark, docs):
     from osm_cut_spark.operators.textstats import lang_id, quality_score
 
