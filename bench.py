@@ -78,7 +78,11 @@ def run_once(spark, sf_dir: str) -> dict:
     # variance — see .claude/skills/verify/SKILL.md), so it is timed but
     # excluded; the recorded number is the min of the warm reps, the same
     # discipline flagship_main already uses.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # 3 warm reps (not 2): warm-rep walls keep descending through rep ~4
+    # on this host (C2 long tail — the r5 focused extract run read
+    # 27.7/21.1/18.9 for its first three warm reps), so min-of-3 sits
+    # measurably closer to steady state at ~1 extra minute of bench wall
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def timed(name, fn):
         times = []
