@@ -141,7 +141,25 @@ def parse_elements_narrow(docs: DataFrame, assume_sorted: bool = True) -> DataFr
     consumers stays memory-bandwidth friendly.  The output phase joins the
     selected (doc_id, offset) keys back to a single fresh span scan.
     """
-    el = explode_elements(docs, assume_sorted)
+    # SCAN PRUNING: rebuild the spans array as arrays_zip of direct nested
+    # field accesses BEFORE any higher-order function touches it.  Spark's
+    # nested-schema pruning understands GetArrayStructFields + arrays_zip
+    # but NOT lambda bodies — feeding the raw spans column into the HOF
+    # pipeline below forces the parquet reader to materialize every span
+    # field, including media_ref, which the selection phase never uses
+    # (ReadSchema drops it with this projection; pinned by
+    # tests/test_ingest.py::test_narrow_parse_prunes_media_ref).  The
+    # output phase re-reads full spans in its own scan (late
+    # materialization), so fidelity is untouched.
+    slim_docs = docs.select(
+        "doc_id",
+        F.arrays_zip(
+            F.col("spans.kind").alias("kind"),
+            F.col("spans.text").alias("text"),
+            F.col("spans.offset").alias("offset"),
+        ).alias("spans"),
+    )
+    el = explode_elements(slim_docs, assume_sorted)
     # one from_json for every kind: ways/relations simply get null lon/lat
     a = F.from_json("attrs_json", "id BIGINT, lon DOUBLE, lat DOUBLE")
     return el.select(

@@ -119,3 +119,29 @@ def test_ingest_plan_has_no_python_and_no_shuffle(spark, fixture_docs):
     plan = nodes._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_narrow_parse_prunes_media_ref(spark, tmp_path):
+    """The selection-phase parse must not pay for span fields it never
+    reads: parse_elements_narrow's parquet ReadSchema carries ONLY
+    (kind, text, offset) — media_ref (arbitrarily fat on real multimodal
+    corpora) is pruned at the reader.  The HOF pipeline alone defeats
+    Spark's nested-schema pruning; the arrays_zip-of-field-accesses
+    projection in parse_elements_narrow is what buys this, so pin it.
+    Output parity with the unpruned path is covered by the extract/oracle
+    suites (same columns, same values)."""
+    from osm_cut_spark.operators.ingest import parse_elements_narrow
+    from osm_cut_spark.sources.docs import synthetic_docs_spark
+
+    path = str(tmp_path / "docs.parquet")
+    synthetic_docs_spark(spark, 20, seed=7).write.parquet(path)
+    docs = spark.read.parquet(path)
+    plan = parse_elements_narrow(docs)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan).group(1)
+    assert "media_ref" not in rs, rs
+    assert "kind" in rs and "text" in rs and "offset" in rs, rs
+    # and the stage contract still holds
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
