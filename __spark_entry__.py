@@ -472,6 +472,15 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Text analysis: cross-document repeated 5-gram windows (boilerplate
+    heads) — top-100 by (df, tf), one explode + partial-agg groupBy +
+    TakeOrdered."""
+    from osm_cut_spark.operators.textstats import boilerplate_ngrams
+
+    return boilerplate_ngrams(_t(spark, sf_dir, "documents"), n=5, min_df=2, k=100)
+
+
 def q_clean_corpus(spark, sf_dir):
     """Composed pretraining cleanup: lang filter -> quality floor -> exact
     dedup survivor -> near-dup cluster representative.  Every stage is
@@ -817,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_family": q_lang_family,
         "vocab_topk": q_vocab_topk,
         "repetition_stats": q_repetition_stats,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         "fingerprint": q_fingerprint,
         "clean_corpus": q_clean_corpus,
         "raster_vector_join": q_raster_vector_join,
@@ -1090,6 +1100,22 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
                         ELSE 0.0 END AS dup_3gram_frac
             FROM g LEFT JOIN top USING (doc_id) LEFT JOIN runs USING (doc_id)
+        """,
+        "boilerplate_ngrams": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks) - 5 + 2),
+                                             i -> array_to_string(toks[i:i+4], ' '))) AS ngram
+                FROM t
+            )
+            SELECT ngram, count(*) AS tf, count(DISTINCT doc_id) AS df
+            FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY df DESC, tf DESC, ngram LIMIT 100
         """,
         "clean_corpus": _clean_corpus_sql(),
         "fingerprint": f"""

@@ -193,6 +193,50 @@ def repetition_stats(
     )
 
 
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated word-n-gram windows (boilerplate heads).
+
+    Finds the n-token windows that appear in at least ``min_df`` distinct
+    documents — headers, footers, license blurbs, templated spam — the
+    corpus-level signal the per-document ``repetition_stats`` cannot see
+    (Lee et al.'s repeated-substring observation motivates masking these
+    before training).  Returns the top-``k`` by (df, tf) with ties broken
+    by the n-gram text, so the selection is deterministic.
+
+    100 TB plan shape: per-row n-gram construction is a JVM HOF
+    (``sequence``+``slice``+``array_join``, no Python), then ONE
+    explode + groupBy(ngram) with map-side partial aggregation — hot
+    boilerplate n-grams are exactly the keys partial agg collapses
+    before the shuffle, so the exchange carries near-distinct keys; the
+    top-k is a TakeOrdered (no global sort materialization), same shape
+    as ``vocab_topk``.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("_doc"), toks.alias("_toks"))
+    grams = F.when(
+        F.size(F.col("_toks")) >= n,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {n} + 1),"
+            f" i -> array_join(slice(_toks, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        base.select("_doc", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("_doc").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), F.desc("tf"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", replayable: bool = False
 ) -> DataFrame:

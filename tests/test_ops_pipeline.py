@@ -164,6 +164,28 @@ def test_repetition_stats_values_and_plan(spark):
     assert "EvalPython" not in explained
 
 
+def test_boilerplate_ngrams(spark):
+    from osm_cut_spark.operators.textstats import boilerplate_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "all rights reserved by acme corp and friends"),
+            (2, "contact us today all rights reserved by acme corp"),
+            (3, "all rights reserved by acme but different tail"),
+            (4, "short doc"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = [(r.ngram, r.tf, r.df) for r in boilerplate_ngrams(df, n=5, min_df=2).collect()]
+    # the shared 5-gram head appears in all three long docs
+    assert rows[0] == ("all rights reserved by acme", 3, 3)
+    # the 6-word continuation appears in docs 1 and 2 only
+    assert ("rights reserved by acme corp", 2, 2) in rows
+    assert all(r[2] >= 2 for r in rows)
+    # doc 4 (2 words) contributes nothing, and no df-1 n-grams leak in
+    assert all("different" not in r[0] and "short" not in r[0] for r in rows)
+
+
 def test_quality_and_lang(spark, docs):
     from osm_cut_spark.operators.textstats import lang_id, quality_score
 
