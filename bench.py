@@ -120,6 +120,8 @@ def run_once(spark, sf_dir: str) -> dict:
         "minhash_pairs",
         "simhash_pairs",
         "token_stats",
+        "repetition_stats",
+        "boilerplate_ngrams",
         "raster_vector_join",
         "pack_sequences",
     ]:
