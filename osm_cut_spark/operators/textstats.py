@@ -152,9 +152,8 @@ def repetition_stats(
 
         return F.aggregate(arr, init, step, lambda acc: acc["best"])
 
-    # the max run of the SORTED array is the max term frequency
-    top_count = max_run(F.array_sort(t))
-    run_len = max_run(t)
+    # (the max run of the SORTED array is the max term frequency — see
+    # the counts projection below)
     g2 = F.when(
         n >= 2,
         F.zip_with(
@@ -174,22 +173,46 @@ def repetition_stats(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    def dup_frac(g):
-        tot, dst = F.size(g), F.size(F.array_distinct(g))
+    # STAGED projections: higher-order expressions run INTERPRETED (no
+    # whole-stage codegen, hence no subexpression elimination) — naming
+    # each expensive expression once per stage keeps the folds and the
+    # n-gram builds from being evaluated 2-3x (the single-Project form
+    # re-ran the whole aggregate(array_sort(...)) inside top_word_frac).
+    # The intermediate Projects carry only per-row scalars/arrays, so the
+    # staging costs nothing at any scale.
+    grams = base.select(
+        F.col(id_col), t.alias("_toks"), g2.alias("_g2"), g3.alias("_g3")
+    )
+    counts = grams.select(
+        F.col(id_col),
+        F.size(F.col("_toks")).alias("n_words"),
+        max_run(F.array_sort(F.col("_toks"))).alias("top_word_count"),
+        max_run(F.col("_toks")).alias("max_word_run"),
+        F.size("_g2").alias("_t2"),
+        F.size(F.array_distinct("_g2")).alias("_d2"),
+        F.size("_g3").alias("_t3"),
+        F.size(F.array_distinct("_g3")).alias("_d3"),
+    )
+
+    def dup_frac(tot, dst):
         return F.when(
-            tot > 0, (tot - dst).cast("double") / tot.cast("double")
+            F.col(tot) > 0,
+            (F.col(tot) - F.col(dst)).cast("double") / F.col(tot).cast("double"),
         ).otherwise(F.lit(0.0))
 
-    return base.select(
+    return counts.select(
         F.col(id_col),
-        n.alias("n_words"),
-        top_count.alias("top_word_count"),
-        run_len.alias("max_word_run"),
-        F.when(n > 0, top_count.cast("double") / n.cast("double"))
+        "n_words",
+        "top_word_count",
+        "max_word_run",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("top_word_count").cast("double") / F.col("n_words").cast("double"),
+        )
         .otherwise(F.lit(0.0))
         .alias("top_word_frac"),
-        dup_frac(g2).alias("dup_2gram_frac"),
-        dup_frac(g3).alias("dup_3gram_frac"),
+        dup_frac("_t2", "_d2").alias("dup_2gram_frac"),
+        dup_frac("_t3", "_d3").alias("dup_3gram_frac"),
     )
 
 
