@@ -19,14 +19,23 @@ BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, n_chars, n_ws_tokens, n_distinct_tokens, n_bpe_tokens)."""
+    """(id, n_chars, n_ws_tokens, n_distinct_tokens, n_bpe_tokens).
+
+    Staged projection: the split+filter HOF runs interpreted (no codegen
+    subexpression elimination), so it is named ONCE and the counts read
+    the alias instead of re-splitting the text per output column."""
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     return docs.select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
-        F.size(toks).alias("n_ws_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
+        toks.alias("_toks"),
+    ).select(
+        F.col(id_col),
+        "n_chars",
+        F.size("_toks").alias("n_ws_tokens"),
+        F.size(F.array_distinct("_toks")).alias("n_distinct_tokens"),
+        "n_bpe_tokens",
     )
 
 
@@ -39,23 +48,37 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
-    n_chars = F.length(text_col)
-    n_distinct = F.size(F.array_distinct(toks))
+    # staged: the split/filter HOFs run interpreted (no subexpression
+    # elimination) — name them once, derive every count from the aliases
+    staged = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", "")).alias("_n_alpha"),
+        F.length(text_col).alias("_n_chars"),
+    ).select(
+        F.col(id_col),
+        F.size("_toks").alias("_n"),
+        F.size(
+            F.filter(F.col("_toks"), lambda t: F.array_contains(stop_arr, t))
+        ).alias("_n_stop"),
+        F.size(F.array_distinct("_toks")).alias("_n_distinct"),
+        "_n_alpha",
+        "_n_chars",
+    )
+    n, n_stop = F.col("_n"), F.col("_n_stop")
+    n_alpha, n_chars = F.col("_n_alpha"), F.col("_n_chars")
     # floor() (not cast) so the DuckDB oracle can replay the rounding exactly
     score = F.floor(
         F.least(n, F.lit(200)) / 4  # length credit up to 50
         + F.when(n > 0, (n_stop * 100) / n).otherwise(0) / 4  # stopword credit up to 25
         + F.when(n_chars > 0, (n_alpha * 25) / n_chars).otherwise(0)  # alpha credit up to 25
     ).cast("int")
-    return docs.select(
+    return staged.select(
         F.col(id_col),
         n.alias("n_tokens"),
         n_stop.alias("n_stopwords"),
         n_alpha.alias("n_alpha_chars"),
-        n_distinct.alias("n_distinct"),
+        F.col("_n_distinct").alias("n_distinct"),
         score.alias("quality"),
     )
 
