@@ -73,6 +73,7 @@ def run_once(spark, sf_dir: str) -> dict:
         df.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    rep_walls: dict[str, list[float]] = {}
     # min-of-N warm in-JVM reps per query: rep0 pays JIT/codegen/Python-
     # worker warmup on this noisy host (documented 3.5x single-shot
     # variance — see .claude/skills/verify/SKILL.md), so it is timed but
@@ -85,15 +86,37 @@ def run_once(spark, sf_dir: str) -> dict:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def timed(name, fn):
+        # the FULL per-rep wall array (rep0 = warmup included) is published
+        # alongside the min so a noisy host window is diagnosable from the
+        # artifact alone (BENCH_r05 published 7-13x phantom regressions
+        # that only builder-side same-code reruns could adjudicate)
         times = []
         for _ in range(reps + 1):  # +1 throwaway warmup rep
             t0 = time.perf_counter()
             fn()
-            times.append(time.perf_counter() - t0)
+            times.append(round(time.perf_counter() - t0, 3))
+        rep_walls[name] = times
         timings[name] = round(min(times[1:]), 3)
 
     # warm the JVM/Arrow paths once with a tiny slice
     docs.limit(10).count()
+
+    qs = entry.queries()
+
+    # host-window drift sentinel: the SAME cheap query re-timed at the
+    # start / middle / end of the run (2 raw walls each, no min) — if the
+    # host degrades mid-run, the drift is visible inside the artifact
+    sentinel: dict[str, list[float]] = {}
+
+    def probe_sentinel(point: str):
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            noop(qs["token_stats"](spark, sf_dir))
+            walls.append(round(time.perf_counter() - t0, 3))
+        sentinel[point] = walls
+
+    probe_sentinel("start")
 
     def run_extract(complete: bool, out: str, grouped: bool = False):
         res = extract(
@@ -108,7 +131,8 @@ def run_once(spark, sf_dir: str) -> dict:
     timed("extract_documents_out", lambda: run_extract(False, "documents"))
     timed("extract_documents_out_grouped", lambda: run_extract(False, "documents", True))
 
-    qs = entry.queries()
+    probe_sentinel("mid")
+
     for name in [
         "pip_node_filter",
         "way_semijoin",
@@ -191,12 +215,16 @@ def run_once(spark, sf_dir: str) -> dict:
 
     timed("knn_join", bench_knn_join)
 
+    probe_sentinel("end")
+
     headline = timings["extract_complete"]
     return {
         "metric": "polygon_cut_extract_complete_wall",
         "value": headline,
         "unit": "sec",
         "queries": timings,
+        "reps": rep_walls,
+        "sentinel": {"query": "token_stats", **sentinel},
         "sf": sf,
         "n_docs": n_docs,
         "cpus": CPUS,

@@ -59,7 +59,14 @@ def _grid_col(coord: Column, lo: float, hi: float, res: int) -> Column:
     The pre-multiply clamp keeps u * n inside int64 for ANY finite input,
     where Spark's double->long cast saturates but numpy's astype wraps —
     without it the two engines disagree for |coord| ≳ 1e18 (reachable on
-    knn/raster paths that have no bbox prune in front of cell_col)."""
+    knn/raster paths that have no bbox prune in front of cell_col).
+
+    NaN caveat: the least/greatest clamp maps NaN to 1.0 (Spark orders NaN
+    above every double), i.e. grid cell n-1, while the numpy twin's
+    np.clip PROPAGATES NaN into an undefined int64 cast — the bit-exact
+    contract holds for FINITE inputs only.  Safe today solely because
+    every caller reaches this helper behind ``cell_col``'s NaN/null -> -1
+    sentinel guard; a direct caller must add its own NaN handling."""
     n = 1 << res
     u = (coord.cast("double") - F.lit(lo)) / F.lit(hi - lo)
     u = F.least(F.greatest(u, F.lit(0.0)), F.lit(1.0))

@@ -317,6 +317,16 @@ def make_point_selector(
 
     if cover is None:
         cover = polygon_cell_cover(poly)
+    levels = sorted(
+        set(np.unique(cell_res(cover.inside_cells)).tolist())
+        | ({cover.res} if cover.boundary_cells.size else set())
+    )
+    if not levels:
+        # degenerate cover (polygon smaller than any cell / no cells at
+        # all): nothing can match — selection is provably empty; checked
+        # FIRST so the edge-index / verdict-frame Spark work below is
+        # never built for an empty cover
+        return lambda points: points.filter(F.lit(False))
     edge_index = (
         boundary_edge_index(poly, cover.boundary_cells)
         if cover.boundary_cells.size
@@ -349,14 +359,6 @@ def make_point_selector(
         )
     vpdf = pd.concat(parts, ignore_index=True)
     vdf = spark.createDataFrame(vpdf, schema="_ck long, _v int")
-    levels = sorted(
-        set(np.unique(cell_res(cover.inside_cells)).tolist())
-        | ({cover.res} if cover.boundary_cells.size else set())
-    )
-    if not levels:
-        # degenerate cover (polygon smaller than any cell / no cells at
-        # all): nothing can match — selection is provably empty
-        return lambda points: points.filter(F.lit(False))
     pip_bnd = (
         make_boundary_pip_udf(spark, poly, cover, edge_index, arrow_rows_acc)
         if cover.boundary_cells.size
@@ -1021,10 +1023,13 @@ def extract(
     relations = narrow.filter(F.col("kind") == "relation").select(
         "id", "members", "doc_id", "offset"
     )
-    if cover is None:
-        cover = auto_cover(poly)
-
     if selector is None:
+        # the cover is only consumed by the selector build — callers that
+        # pass a prebuilt selector skip the per-cut driver-side cover
+        # construction entirely (that amortization is the point of the
+        # parameter)
+        if cover is None:
+            cover = auto_cover(poly)
         selector = make_point_selector(spark, poly, cover)
     nodes_sel = selector(nodes.filter(F.col("id").isNotNull()))
     sel_node_ids = nodes_sel.select(F.col("id").alias("node_id")).distinct()

@@ -41,6 +41,36 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+
+    # Gate hygiene: ngram_jaccard / cosine_dup compare a deterministic
+    # id < ORACLE_ID_CAP window (keeps their quadratic oracles feasible at
+    # every sf).  Assert the window is NON-TRIVIAL at this sf so a future
+    # table-shape change can't silently turn those two rows into no-ops —
+    # and say out loud when the window is a strict subset of the corpus.
+    MIN_WINDOW_ROWS = 100
+    if not only or {"ngram_jaccard", "cosine_dup"} & only:
+        cap = entry.ORACLE_ID_CAP
+        for tbl, idc, qname in (
+            ("documents", "doc_id", "ngram_jaccard"),
+            ("embeddings", "vec_id", "cosine_dup"),
+        ):
+            n_win, n_all = con.sql(
+                f"SELECT count(*) FILTER ({idc} < {cap}), count(*) FROM {tbl}"
+            ).fetchone()
+            if n_win < MIN_WINDOW_ROWS:
+                failures.append(
+                    (qname, f"ORACLE_ID_CAP window trivial: {n_win} rows of {tbl}")
+                )
+                print(
+                    f"FAIL  {qname}: ORACLE_ID_CAP={cap} window matches only "
+                    f"{n_win} {tbl} rows (< {MIN_WINDOW_ROWS}) — the oracle row is a no-op"
+                )
+            elif n_win < n_all:
+                print(
+                    f"NOTE  {qname}: validates a capped id<{cap} window "
+                    f"({n_win}/{n_all} {tbl} rows) at this sf — full-corpus "
+                    f"scale path is the minhash/LSH family"
+                )
     for name, fn in qs.items():
         if only and name not in only:
             continue
