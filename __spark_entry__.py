@@ -474,11 +474,16 @@ def q_repetition_stats(spark, sf_dir):
 
 def q_boilerplate_ngrams(spark, sf_dir):
     """Text analysis: cross-document repeated 5-gram windows (boilerplate
-    heads) — top-100 by (df, tf), one explode + partial-agg groupBy +
-    TakeOrdered."""
+    heads) — top-100 by (df, tf).  The aggregation keys on the 64-bit
+    n-gram hash (8-byte exchanges, not text); winning strings resolve in a
+    second narrow pass.  ``replayable=True`` hashes with the md5-derived
+    h64 so DuckDB replays the hash-keyed selection (incl. tie-breaks at
+    the cut) exactly."""
     from osm_cut_spark.operators.textstats import boilerplate_ngrams
 
-    return boilerplate_ngrams(_t(spark, sf_dir, "documents"), n=5, min_df=2, k=100)
+    return boilerplate_ngrams(
+        _t(spark, sf_dir, "documents"), n=5, min_df=2, k=100, replayable=True
+    )
 
 
 def q_clean_corpus(spark, sf_dir):
@@ -1101,7 +1106,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS dup_3gram_frac
             FROM g LEFT JOIN top USING (doc_id) LEFT JOIN runs USING (doc_id)
         """,
-        "boilerplate_ngrams": r"""
+        # hash-keyed replay of the slim-exchange plan: group/select on the
+        # md5-derived h64 of the n-gram (ties at the k-cut break on the
+        # hash in BOTH engines), then resolve the winning strings
+        "boilerplate_ngrams": rf"""
             WITH t AS (
                 SELECT doc_id,
                        list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
@@ -1112,10 +1120,14 @@ def oracle_sql() -> dict[str, str]:
                        unnest(list_transform(range(1, len(toks) - 5 + 2),
                                              i -> array_to_string(toks[i:i+4], ' '))) AS ngram
                 FROM t
-            )
-            SELECT ngram, count(*) AS tf, count(DISTINCT doc_id) AS df
-            FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
-            ORDER BY df DESC, tf DESC, ngram LIMIT 100
+            ),
+            h AS (SELECT doc_id, ngram, {_h64('ngram')} AS _h FROM g),
+            a AS (SELECT _h, count(*) AS tf, count(DISTINCT doc_id) AS df
+                  FROM h GROUP BY _h HAVING count(DISTINCT doc_id) >= 2),
+            top AS (SELECT _h, tf, df FROM a ORDER BY df DESC, tf DESC, _h LIMIT 100),
+            tx AS (SELECT _h, min(ngram) AS ngram FROM h GROUP BY _h)
+            SELECT tx.ngram, top.tf, top.df FROM top JOIN tx USING (_h)
+            ORDER BY df DESC, tf DESC, ngram
         """,
         "clean_corpus": _clean_corpus_sql(),
         "fingerprint": f"""

@@ -246,6 +246,7 @@ def boilerplate_ngrams(
     k: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
+    replayable: bool = False,
 ) -> DataFrame:
     """Cross-document repeated word-n-gram windows (boilerplate heads).
 
@@ -253,17 +254,27 @@ def boilerplate_ngrams(
     documents — headers, footers, license blurbs, templated spam — the
     corpus-level signal the per-document ``repetition_stats`` cannot see
     (Lee et al.'s repeated-substring observation motivates masking these
-    before training).  Returns the top-``k`` by (df, tf) with ties broken
-    by the n-gram text, so the selection is deterministic.
+    before training).  Returns the top-``k`` by (df, tf); ties at the cut
+    break on the n-gram's 64-bit hash (deterministic, and replayable by
+    the oracle without shipping text), output re-sorted by (df, tf,
+    ngram) for humans.
 
     100 TB plan shape: per-row n-gram construction is a JVM HOF
-    (``sequence``+``slice``+``array_join``, no Python), then ONE
-    explode + groupBy(ngram) with map-side partial aggregation — hot
-    boilerplate n-grams are exactly the keys partial agg collapses
-    before the shuffle, so the exchange carries near-distinct keys; the
-    top-k is a TakeOrdered (no global sort materialization), same shape
-    as ``vocab_topk``.
+    (``sequence``+``slice``+``array_join``, no Python); the n-gram STRING
+    is hashed to one long (xxhash64, or the md5-derived twin when
+    ``replayable``) before the aggregation, so both exchanges of the
+    count-distinct (keyed (hash, doc) then (hash)) carry 8-byte longs
+    instead of ~n×word-width text — boilerplate detection is exactly the
+    regime where most n-grams are near-distinct and partial agg cannot
+    collapse them, so exchange width IS the bottleneck at scale.  The
+    top-k hashes are a TakeOrdered; only then does a second narrow pass
+    resolve the k winning strings (broadcast semi-join on the hash ->
+    tiny ``min(ngram)`` aggregate — under 64-bit hash collision both
+    engines merge identically, and at k~100 the collision odds are
+    ~k·|grams|/2^64, negligible).
     """
+    from osm_cut_spark.operators.dedup import _hash64
+
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     base = docs.select(F.col(id_col).alias("_doc"), toks.alias("_toks"))
     grams = F.when(
@@ -273,13 +284,27 @@ def boilerplate_ngrams(
             f" i -> array_join(slice(_toks, i, {n}), ' '))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        base.select("_doc", F.explode(grams).alias("ngram"))
-        .groupBy("ngram")
+    exploded = base.select("_doc", F.explode(grams).alias("ngram"))
+    hashed = exploded.select(
+        _hash64(F.col("ngram"), replayable).alias("_h"), "_doc"
+    )
+    top = (
+        hashed.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("_doc").alias("df"))
         .filter(F.col("df") >= min_df)
-        .orderBy(F.desc("df"), F.desc("tf"), F.asc("ngram"))
+        .orderBy(F.desc("df"), F.desc("tf"), F.asc("_h"))
         .limit(k)
+    )
+    texts = (
+        exploded.select(_hash64(F.col("ngram"), replayable).alias("_h"), "ngram")
+        .join(F.broadcast(top.select("_h")), "_h", "left_semi")
+        .groupBy("_h")
+        .agg(F.min("ngram").alias("ngram"))
+    )
+    return (
+        top.join(F.broadcast(texts), "_h")
+        .select("ngram", "tf", "df")
+        .orderBy(F.desc("df"), F.desc("tf"), F.asc("ngram"))
     )
 
 

@@ -184,6 +184,44 @@ def test_boilerplate_ngrams(spark):
     assert all(r[2] >= 2 for r in rows)
     # doc 4 (2 words) contributes nothing, and no df-1 n-grams leak in
     assert all("different" not in r[0] and "short" not in r[0] for r in rows)
+    # replayable (md5-h64) path selects the same set when k is not binding
+    rows_r = [
+        (r.ngram, r.tf, r.df)
+        for r in boilerplate_ngrams(df, n=5, min_df=2, replayable=True).collect()
+    ]
+    assert sorted(rows) == sorted(rows_r)
+
+
+def test_boilerplate_ngrams_slim_exchange(spark):
+    """100 TB shape: every Exchange in the boilerplate plan partitions on
+    8-byte longs — the n-gram STRING never rides a shuffle (it is hashed
+    before the count-distinct aggregate and resolved for only the k
+    winners afterwards, behind a broadcast semi-join)."""
+    import re
+
+    from osm_cut_spark.operators.textstats import boilerplate_ngrams
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} all rights reserved by acme corp tail{i % 3}") for i in range(40)],
+        "doc_id LONG, text STRING",
+    )
+    out = boilerplate_ngrams(df, n=5, min_df=2, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no per-row Python anywhere, and the string column is absent from
+    # every hash-partitioning key (the n-gram text only ever appears as
+    # the tiny post-semi-join min() payload, bounded by k)
+    assert "EvalPython" not in plan
+    for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "ngram" not in part, part
+    # correctness unchanged by the slim plan
+    rows = out.collect()
+    assert (rows[0].ngram, rows[0].df) == ("all rights reserved by acme", 40)
+    # AQE final plan: the top-k aggregate subtree appearing on both sides
+    # of the text-resolve join is REUSED, not recomputed — the big shuffle
+    # is written once per action (reuse only materializes in the final
+    # adaptive plan, hence the assert runs post-collect)
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "ReusedSubquery" in final, final[:4000]
 
 
 def test_quality_and_lang(spark, docs):
