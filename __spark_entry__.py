@@ -503,6 +503,68 @@ def q_clean_corpus(spark, sf_dir):
     )
 
 
+def q_keep_best(spark, sf_dir):
+    """Canonical-document selection: per near-dup cluster the highest-
+    quality member survives (tie-break min id), singletons survive as
+    their own cluster.  Replays the whole chain — quality projection +
+    MinHash-LSH pairs + connected components + argmax — in one oracle."""
+    from osm_cut_spark.operators.corpus import keep_best
+
+    return keep_best(
+        _t(spark, sf_dir, "documents"),
+        jaccard_threshold=0.3,
+        n_perm=16,
+        bands=8,
+        replayable=True,
+    )
+
+
+def _keep_best_sql(threshold=0.3, n_perm=16, bands=8) -> str:
+    """One-statement replay: quality (same shape as the quality_score
+    oracle) + minhash pairs + recursive-CTE components + window argmax."""
+    return f"""
+        WITH RECURSIVE qf AS (
+            SELECT doc_id,
+                   CAST(floor(least(n_tokens, 200) / 4
+                        + (CASE WHEN n_tokens > 0 THEN (n_stopwords * 100) / n_tokens ELSE 0 END) / 4
+                        + (CASE WHEN n_chars > 0 THEN (n_alpha * 25) / n_chars ELSE 0 END)) AS INT)
+                       AS quality
+            FROM (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       len(list_filter(toks, t -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is','it',
+                            'that','for','on','as','with','at','by','from','this','be'], t)))
+                           AS n_stopwords,
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                       length(text) AS n_chars
+                FROM (SELECT doc_id, text,
+                             list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+                      FROM documents))
+        ),
+        p AS (SELECT * FROM ({_minhash_pairs_sql(n_perm, bands, threshold)}) mp),
+        und AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        reach(src, dst) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+        ),
+        cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+        m AS (
+            SELECT coalesce(cl.cluster_id, qf.doc_id) AS cluster_id,
+                   qf.doc_id, qf.quality
+            FROM qf LEFT JOIN cl ON cl.doc_id = qf.doc_id
+        )
+        SELECT cluster_id, doc_id, quality, n_members FROM (
+            SELECT cluster_id, doc_id, quality,
+                   count(*) OVER (PARTITION BY cluster_id) AS n_members,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY quality DESC, doc_id) AS rn
+            FROM m
+        ) WHERE rn = 1
+    """
+
+
 def _clean_corpus_sql(min_quality=40, threshold=0.3, n_perm=16, bands=8) -> str:
     """One-statement replay of the whole cleanup chain (quality + lang
     shapes identical to the quality_score / lang_family oracles)."""
@@ -834,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "fingerprint": q_fingerprint,
         "clean_corpus": q_clean_corpus,
+        "keep_best": q_keep_best,
         "raster_vector_join": q_raster_vector_join,
         "sessionize": q_sessionize,
         "minhash_pairs": q_minhash_pairs,
@@ -1130,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY df DESC, tf DESC, ngram
         """,
         "clean_corpus": _clean_corpus_sql(),
+        "keep_best": _keep_best_sql(),
         "fingerprint": f"""
             SELECT doc_id,
                    {_h64('text')} AS full_hash,

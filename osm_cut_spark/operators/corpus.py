@@ -72,6 +72,71 @@ def clean_corpus(
     return s0.join(dropped, id_col, "left_anti").select(id_col, "lang_family", "quality")
 
 
+def keep_best(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    jaccard_threshold: float = 0.5,
+    n_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    replayable: bool = False,
+) -> DataFrame:
+    """Canonical-document selection after near-dup clustering: per cluster,
+    the HIGHEST-quality member survives (deterministic tie-break: lowest
+    id), singletons survive as their own cluster — the "which duplicate do
+    we keep" step every pretraining cleanup runs after ``dup_clusters``
+    (where min-id is the right *label*, it is rarely the right *survivor*).
+    Reference-side analog: the final member projection keeps exactly one
+    canonical object per selected entity (osm_process_complete.erl:253-257).
+
+    Returns (cluster_id, doc_id, quality, n_members) — one row per cluster,
+    doc_id = the surviving member.
+
+    100 TB shape: quality is a narrow per-row projection; membership comes
+    from ``dup_clusters`` (bounded label propagation over the SMALL pair
+    set); the argmax is ONE partial-agg-friendly ``max(struct(quality,
+    -id))`` aggregation keyed on cluster_id — no window sort, no
+    per-cluster shuffle beyond the single groupBy.
+
+    ``pairs``: prebuilt near-dup pairs (id_a, id_b); defaults to
+    ``minhash_lsh_pairs(docs, ...)`` with the given LSH parameters.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            n_perm=n_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+            jaccard_threshold=jaccard_threshold,
+            replayable=replayable,
+        )
+    clusters = dup_clusters(pairs).withColumnRenamed("doc_id", id_col)
+    q = quality_score(docs, id_col, text_col).select(id_col, "quality")
+    membered = q.join(clusters, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    # lexicographic struct max = argmax quality, ties -> max(-id) = min id
+    return (
+        membered.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("quality"), (-F.col(id_col)).alias("_negid"))
+            ).alias("_b"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("_b._negid")).alias(id_col),
+            F.col("_b.quality").alias("quality"),
+            "n_members",
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

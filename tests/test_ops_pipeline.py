@@ -285,6 +285,48 @@ def test_clean_corpus_chain(spark):
     assert got == {1, 6}
 
 
+def test_keep_best_argmax_survivor(spark):
+    """Canonical selection: the HIGHEST-quality cluster member survives
+    (not the min-id label), ties break to the lowest id, and singletons
+    pass through as their own cluster."""
+    from osm_cut_spark.operators.corpus import keep_best
+
+    base = "the quick brown fox jumps over the lazy dog and runs to the old barn"
+    rich = base + " while the other animals watch from the tall grass near the river"
+    rows = [
+        (1, base),   # cluster {1, 2, 4}: near-dups of each other
+        (2, base.replace("lazy", "sleepy")),
+        (4, rich.replace("quick", "swift")),  # not in cluster (diverged text)
+        (7, "an entirely different story about mountains rivers and the sea beyond"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r.cluster_id: (r.doc_id, r.n_members)
+        for r in keep_best(df, jaccard_threshold=0.3, n_perm=16, bands=8).collect()
+    }
+    # every cluster yields exactly one survivor; singletons keep themselves
+    assert set(got) >= {7}
+    assert got[7] == (7, 1)
+    # total members across clusters == corpus size (partition, no loss)
+    assert sum(n for _, n in got.values()) == len(rows)
+
+    # explicit-pair path: force {1,2,4} into one cluster and check argmax
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a LONG, id_b LONG")
+    got2 = {r.cluster_id: (r.doc_id, r.quality, r.n_members)
+            for r in keep_best(df, pairs=pairs).collect()}
+    assert set(got2) == {1, 7}
+    surv, q, n = got2[1]
+    assert n == 3
+    # doc 4 has strictly more tokens/alpha -> higher quality -> survives
+    assert surv == 4
+
+    # tie-break: identical texts have identical quality -> min id survives
+    tie = spark.createDataFrame([(10, base), (11, base)], "doc_id LONG, text STRING")
+    tpairs = spark.createDataFrame([(10, 11)], "id_a LONG, id_b LONG")
+    tgot = keep_best(tie, pairs=tpairs).collect()
+    assert len(tgot) == 1 and tgot[0].doc_id == 10 and tgot[0].n_members == 2
+
+
 def test_dup_clusters_nonconvergence_raises(spark):
     import pytest
     from osm_cut_spark.operators.dedup import dup_clusters
