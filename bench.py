@@ -243,6 +243,10 @@ def main():
         return flagship_main(sys.argv[sys.argv.index("--flagship") + 1])
     if "--bucketed" in sys.argv:
         return bucketed_main()
+    if "--dedup-scaling" in sys.argv:
+        return dedup_scaling_main()
+    if "--dedup-worker" in sys.argv:
+        return dedup_worker_main(sys.argv[sys.argv.index("--dedup-worker") + 1])
     from osm_cut_spark.session import get_session
 
     spark = get_session(app_name="osm_cut_bench", cpus=CPUS)
@@ -371,6 +375,140 @@ def bucketed_main():
                 "cpus": CPUS,
                 "star_vertices": STAR_VERTICES,
                 "bucket_build_sec": build,
+            }
+        )
+    )
+
+
+DEDUP_DOCS = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "1000000"))
+
+
+def _dedup_docs_path() -> str:
+    """Generate-once a large synthetic TEXT corpus for the dedup-family
+    scaling campaign: ~40-token word-salad docs, fully JVM-generated
+    (spark.range + hash expressions, no Python), with ~5% near-dup pairs
+    (doc_id % 20 == 1 shares its base text with doc_id - 1 plus one extra
+    token) so the LSH banded exchanges carry realistic bucket collisions."""
+    path = CACHE_ROOT / f"dedup_docs_n{DEDUP_DOCS}.parquet"
+    if not path.exists():
+        from pyspark.sql import functions as F
+
+        from osm_cut_spark.session import get_session
+
+        spark = get_session(app_name="osm_cut_dedup_gen", cpus=CPUS)
+        base = F.when(
+            F.col("doc_id") % 20 == 1, F.col("doc_id") - 1
+        ).otherwise(F.col("doc_id"))
+        text = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(base * 41 + i), F.lit(30000)).cast("string"),
+                ),
+            ),
+        )
+        tail = F.when(
+            F.col("doc_id") % 20 == 1,
+            F.concat(F.lit(" x"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit(""))
+        (
+            spark.range(DEDUP_DOCS)
+            .select(F.col("id").alias("doc_id"))
+            .repartition(64)
+            .withColumn("text", F.concat(text, tail))
+            .write.mode("overwrite")
+            .parquet(str(path))
+        )
+    return str(path)
+
+
+def dedup_worker_main(docs_path: str):
+    """Subprocess worker: min-of-N warm in-JVM reps of the dedup family
+    (minhash_pairs + cross-corpus contamination join) on the big text
+    corpus — the banded-exchange shuffle profile, no broadcast side."""
+    from pyspark.sql import functions as F
+
+    from osm_cut_spark.operators.dedup import minhash_lsh_join, minhash_lsh_pairs
+    from osm_cut_spark.session import get_session
+
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    spark = get_session(app_name="osm_cut_dedup_scaling", cpus=CPUS)
+    docs = spark.read.parquet(docs_path)
+    docs.limit(10).count()  # warm the scan path
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    jobs = {
+        "minhash_pairs": lambda: noop(
+            minhash_lsh_pairs(docs, n_perm=32, bands=8, jaccard_threshold=0.5)
+        ),
+        "contamination": lambda: noop(
+            minhash_lsh_join(
+                docs.filter(F.col("doc_id") % 7 != 0),
+                docs.filter(F.col("doc_id") % 7 == 0),
+                n_perm=16,
+                bands=8,
+                jaccard_threshold=0.3,
+            )
+        ),
+    }
+    out = {}
+    for name, fn in jobs.items():
+        times = []
+        for _ in range(reps + 1):  # +1 throwaway warmup rep
+            t0 = time.perf_counter()
+            fn()
+            times.append(round(time.perf_counter() - t0, 3))
+        out[name] = times
+    print(json.dumps({"cpus": CPUS, "n_docs": DEDUP_DOCS, "reps_sec": out}))
+
+
+def dedup_scaling_main():
+    """Dedup-family scaling campaign: the worker at two parallelism levels
+    (default 8 vs 32 cores, override SPARK_GRAFT_SCALING_CORES) in fresh
+    JVMs on the SAME cached corpus; reports per-query efficiency."""
+    cores = [
+        int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CORES", "8,32").split(",")
+    ]
+    path = _dedup_docs_path()
+    out = {}
+    for cpus in cores:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, __file__, "--dedup-worker", path],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=7200,
+        )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"dedup worker at {cpus} cores produced no JSON")
+        out[cpus] = json.loads(lines[-1])
+    lo, hi = cores[0], cores[-1]
+    effs, walls, reps_all = {}, {}, {}
+    for q in out[lo]["reps_sec"]:
+        t_lo = min(out[lo]["reps_sec"][q][1:])
+        t_hi = min(out[hi]["reps_sec"][q][1:])
+        effs[q] = round((t_lo / t_hi) / (hi / lo), 3)
+        walls[f"{q}_cores{lo}_sec"] = t_lo
+        walls[f"{q}_cores{hi}_sec"] = t_hi
+        reps_all[q] = {str(c): out[c]["reps_sec"][q] for c in cores}
+    print(
+        json.dumps(
+            {
+                "metric": f"dedup_scaling_efficiency_{lo}_to_{hi}_cores",
+                "value": effs.get("minhash_pairs"),
+                "unit": "ratio",
+                "queries": walls,
+                "efficiency": effs,
+                "reps": reps_all,
+                "n_docs": DEDUP_DOCS,
             }
         )
     )
