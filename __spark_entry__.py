@@ -673,6 +673,24 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join: each click event joined to the latest view
+    event of the same user at or before it (operators/asof.py — one
+    union + window, no range-join pair expansion)."""
+    from osm_cut_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view")
+    out = asof_join(
+        clicks, views, key_col="user_id", time_col="ts",
+        value_cols=["event_id", "value"], tiebreak_col="event_id",
+    )
+    return out.select("event_id", "user_id", "asof_event_id", "asof_value")
+
+
 def q_minhash_pairs(spark, sf_dir):
     """Dedup: MinHash-LSH candidate pairs verified by exact Jaccard.
     ``replayable=True`` swaps xxhash64 for the md5-derived 60-bit hash that
@@ -899,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_best": q_keep_best,
         "raster_vector_join": q_raster_vector_join,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "minhash_pairs": q_minhash_pairs,
         "dup_clusters": q_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1269,6 +1288,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
                    CAST(floor(off / 512) AS BIGINT) AS bin
             FROM c
+        """,
+        "asof_join": """
+            WITH u AS (
+                SELECT user_id AS k, ts AS t, 1 AS pri,
+                       4611686018427387904 AS tb,
+                       event_id AS l_event_id,
+                       CAST(NULL AS STRUCT(e BIGINT, v DOUBLE)) AS r
+                FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+                UNION ALL
+                SELECT user_id, ts, 0, event_id, NULL,
+                       {'e': event_id, 'v': value}
+                FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+            ), w AS (
+                SELECT l_event_id, k, pri,
+                       last_value(r IGNORE NULLS) OVER (
+                           PARTITION BY k ORDER BY t, pri, tb
+                           ROWS UNBOUNDED PRECEDING) AS m
+                FROM u
+            )
+            SELECT l_event_id AS event_id, k AS user_id,
+                   struct_extract(m, 'e') AS asof_event_id,
+                   struct_extract(m, 'v') AS asof_value
+            FROM w WHERE pri = 1
         """,
         "sessionize": """
             WITH l AS (

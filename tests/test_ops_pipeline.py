@@ -482,3 +482,60 @@ def test_minhash_caps_observable(spark):
     m4 = {}
     simhash_dup_pairs(sdocs, max_hamming=30, max_bucket=1, metrics=m4).collect()
     assert m4["dropped_buckets"].first()[0] > 0
+
+
+def test_asof_join_semantics(spark):
+    """Point-in-time join: inclusive vs strict at equal timestamps,
+    duplicate-timestamp tiebreak (largest id wins), no-match nulls."""
+    from osm_cut_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(101, 1, 5), (102, 1, 10), (103, 1, 20), (104, 9, 7)],
+        "qid BIGINT, user_id BIGINT, t BIGINT",
+    )
+    right = spark.createDataFrame(
+        [(1, 1, 10, 1.0), (2, 1, 15, 2.0), (4, 3, 10, 41.0), (5, 3, 10, 42.0)],
+        "event_id BIGINT, user_id BIGINT, t BIGINT, value DOUBLE",
+    )
+    got = {
+        r.qid: (r.asof_event_id, r.asof_value)
+        for r in asof_join(
+            left, right, "user_id", "t", ["event_id", "value"], "event_id"
+        ).collect()
+    }
+    assert got == {
+        101: (None, None),     # nothing at or before t=5
+        102: (1, 1.0),         # inclusive: R1 at the same t=10 is visible
+        103: (2, 2.0),         # latest prior
+        104: (None, None),     # user 9 has no right rows at all
+    }
+
+    strict = {
+        r.qid: r.asof_event_id
+        for r in asof_join(
+            left, right, "user_id", "t", ["event_id"], "event_id", strict=True
+        ).collect()
+    }
+    assert strict[102] is None  # strict: equal-t right row not visible
+    assert strict[103] == 2     # R2@15 strictly precedes t=20
+
+    # duplicate (key, t) right rows: the larger tiebreak id wins, atomically
+    l3 = spark.createDataFrame([(201, 3, 10)], "qid BIGINT, user_id BIGINT, t BIGINT")
+    (row,) = asof_join(
+        l3, right, "user_id", "t", ["event_id", "value"], "event_id"
+    ).collect()
+    assert (row.asof_event_id, row.asof_value) == (5, 42.0)
+
+
+def test_asof_join_plan_single_exchange_no_join(spark):
+    """asof_join is a union + window, NOT a range join: exactly one
+    shuffle (hash by key), one Window, zero join operators, zero Python —
+    the pair-explosion-free shape that survives both sides being huge."""
+    import __spark_entry__ as e
+
+    df = e.queries()["asof_join"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
