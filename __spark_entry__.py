@@ -691,6 +691,18 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", "asof_event_id", "asof_value")
 
 
+def q_lookback_agg(spark, sf_dir):
+    """Rolling look-back features: per event, count/sum of the user's
+    values over the strict past hour (native RANGE frame — one shuffle,
+    no range self-join; operators/asof.py::lookback_agg)."""
+    from osm_cut_spark.operators.asof import lookback_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return lookback_agg(ev, "user_id", "ts", "value", 3600).select(
+        "event_id", "user_id", "n_lookback", "sum_lookback"
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     """Dedup: MinHash-LSH candidate pairs verified by exact Jaccard.
     ``replayable=True`` swaps xxhash64 for the md5-derived 60-bit hash that
@@ -918,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vector_join": q_raster_vector_join,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "lookback_agg": q_lookback_agg,
         "minhash_pairs": q_minhash_pairs,
         "dup_clusters": q_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1311,6 +1324,15 @@ def oracle_sql() -> dict[str, str]:
                    struct_extract(m, 'e') AS asof_event_id,
                    struct_extract(m, 'v') AS asof_value
             FROM w WHERE pri = 1
+        """,
+        "lookback_agg": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_lookback,
+                   sum(value) OVER w AS sum_lookback
+            FROM events WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
         """,
         "sessionize": """
             WITH l AS (

@@ -148,6 +148,8 @@ def run_once(spark, sf_dir: str) -> dict:
         "boilerplate_ngrams",
         "raster_vector_join",
         "pack_sequences",
+        "asof_join",
+        "lookback_agg",
     ]:
         timed(name, lambda n=name: noop(qs[n](spark, sf_dir)))
 

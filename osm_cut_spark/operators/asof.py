@@ -95,3 +95,36 @@ def asof_join(
     out = [F.col(f"_lrow.{c}").alias(c) for c in lcols]
     out += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in value_cols]
     return matched.select(*out)
+
+
+def lookback_agg(
+    events: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    window_sec: int,
+) -> DataFrame:
+    """Rolling look-back features: for every event, the count and sum of
+    the same key's ``value_col`` over the STRICT past ``window_sec``
+    seconds — i.e. rows with order-key in [t - window_sec, t - 1], which
+    excludes the current row AND any row sharing its exact second
+    (leakage-free by construction: a feature computed at time t never
+    sees t itself).
+
+    Spark-first plan: a native RANGE frame over unix seconds — one hash
+    shuffle on the key + in-partition sort, no self-join, no pair
+    expansion (the naive formulation is a range self-join that explodes
+    with events-per-window).  Sliding-frame aggregation is O(n) per key.
+    Appends ``n_lookback`` / ``sum_lookback``; rows with NULL time are
+    excluded (engine-specific ordering).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_timestamp(F.col(time_col)))
+        .rangeBetween(-int(window_sec), -1)
+    )
+    return (
+        events.filter(F.col(time_col).isNotNull())
+        .withColumn("n_lookback", F.count(F.lit(1)).over(w))
+        .withColumn("sum_lookback", F.sum(value_col).over(w))
+    )

@@ -539,3 +539,42 @@ def test_asof_join_plan_single_exchange_no_join(spark):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_lookback_agg_strict_past_and_plan(spark):
+    """Rolling look-back window: strict past (current second excluded,
+    so same-second rows never leak), window boundary inclusive at
+    t - window_sec; plan = one exchange + one Window, no join/Python."""
+    from datetime import datetime, timezone
+
+    from osm_cut_spark.operators.asof import lookback_agg
+
+    def ts(s):
+        return datetime.fromtimestamp(1_700_000_000 + s, tz=timezone.utc).replace(tzinfo=None)
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, ts(0), 1.0),
+            (2, 1, ts(0), 2.0),     # same second as event 1
+            (3, 1, ts(10), 4.0),    # sees events at sec 0 only
+            (4, 1, ts(3610), 8.0),  # sec 10 is exactly 3600 back -> included
+            (5, 2, ts(10), 16.0),   # other key: isolated
+        ],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+    )
+    got = {
+        r.event_id: (r.n_lookback, r.sum_lookback)
+        for r in lookback_agg(ev, "user_id", "ts", "value", 3600).collect()
+    }
+    assert got[1] == (0, None)      # same-second sibling NOT visible
+    assert got[2] == (0, None)
+    assert got[3] == (2, 3.0)       # both sec-0 events
+    assert got[4] == (1, 4.0)       # only sec 10 (sec 0 aged out)
+    assert got[5] == (0, None)
+
+    plan = (
+        lookback_agg(ev, "user_id", "ts", "value", 3600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan and "EvalPython" not in plan
