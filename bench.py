@@ -247,6 +247,8 @@ def main():
         return bucketed_main()
     if "--dedup-scaling" in sys.argv:
         return dedup_scaling_main()
+    if "--stream-dedup" in sys.argv:
+        return stream_dedup_main()
     if "--dedup-worker" in sys.argv:
         return dedup_worker_main(sys.argv[sys.argv.index("--dedup-worker") + 1])
     from osm_cut_spark.session import get_session
@@ -511,6 +513,78 @@ def dedup_scaling_main():
                 "efficiency": effs,
                 "reps": reps_all,
                 "n_docs": DEDUP_DOCS,
+            }
+        )
+    )
+
+
+STREAM_DEDUP_EPOCHS = int(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_EPOCHS", "30"))
+STREAM_DEDUP_BATCH = int(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_BATCH", "2000"))
+
+
+def stream_dedup_main():
+    """Per-epoch wall of incremental streaming dedup while the kept-doc
+    index grows ~N_EPOCHS x: drives _dedup_epoch directly (the epoch
+    maintenance cost, no stream-source machinery) over consecutive
+    slices of the cached dedup corpus, compacting on the production
+    cadence.  Flat early-vs-late walls = per-epoch cost does not grow
+    with the accumulated corpus (the claim the 12-epoch pytest pins
+    structurally, quantified)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from osm_cut_spark.session import get_session
+    from osm_cut_spark.sources.icelite import IceLiteTable
+    from osm_cut_spark.streaming.dedup_stream import _dedup_epoch
+
+    spark = get_session(app_name="osm_cut_stream_dedup_bench", cpus=CPUS)
+    docs = spark.read.parquet(_dedup_docs_path())
+    root = Path(tempfile.mkdtemp(prefix="stream_dedup_bench_"))
+    tbls = [
+        IceLiteTable(root / n)
+        for n in ("dedup_index", "kept_sigs", "kept_docs", "dropped_docs")
+    ]
+    compact_every = 8
+    walls = []
+    try:
+        for e in range(STREAM_DEDUP_EPOCHS):
+            lo, hi = e * STREAM_DEDUP_BATCH, (e + 1) * STREAM_DEDUP_BATCH
+            batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            t0 = time.perf_counter()
+            _dedup_epoch(
+                spark, batch, e, *tbls,
+                id_col="doc_id", text_col="text", n_perm=32, bands=8,
+                shingle_n=3, sig_match_frac=0.5, max_bucket=1000,
+            )
+            if (e + 1) % compact_every == 0:
+                for t in tbls:
+                    if t.exists() and len(t.current_snapshot()["data_dirs"]) > 1:
+                        t.compact(spark, properties={"epoch": f"compact-{e}"})
+                    if t.exists():
+                        t.expire_snapshots(keep_last=4)
+            walls.append(round(time.perf_counter() - t0, 3))
+        kept = tbls[2].read(spark).count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    k = 5
+    first, last = walls[1 : 1 + k], walls[-k:]
+    print(
+        json.dumps(
+            {
+                "metric": "stream_dedup_epoch_wall_last5_mean",
+                "value": round(sum(last) / k, 3),
+                "unit": "sec",
+                "queries": {
+                    "epoch_first5_mean": round(sum(first) / k, 3),
+                    "epoch_last5_mean": round(sum(last) / k, 3),
+                },
+                "walls": walls,
+                "n_epochs": STREAM_DEDUP_EPOCHS,
+                "batch_docs": STREAM_DEDUP_BATCH,
+                "kept_docs_final": kept,
+                "cpus": CPUS,
             }
         )
     )

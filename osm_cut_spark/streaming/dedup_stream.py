@@ -16,10 +16,15 @@ Design (per microbatch = one epoch):
   once with the staged projections from ``operators.dedup``;
 * CROSS-EPOCH candidates: the accumulated ``dedup_index`` state table
   (bkt, bucket, doc_id of every KEPT doc) is probed with this batch's
-  buckets — the batch side is broadcast (it is trigger-bounded) and the
-  index scan is pruned by the batch's bkt values (parquet min/max on the
-  sorted bkt column), so per-epoch work is O(batch + pruned index probe),
-  never O(corpus);
+  buckets — the batch side is broadcast (it is trigger-bounded), so the
+  probe is one embarrassingly-parallel scan of the SLIM index (two longs
+  + an int per kept doc; the wide text/sig columns never enter it) with
+  zero shuffle of the index.  The bkt column (parquet min/max on the
+  sorted layout) additionally prunes the scan when the batch is small
+  enough not to touch all 256 buckets.  Per-epoch cost is therefore
+  O(batch) compute + one slim column scan of the index — compare the
+  anti-pattern this replaces, re-running pair dedup over the whole
+  corpus per epoch (index × work, with shuffles of corpus-sized data);
 * candidates are VERIFIED by signature agreement (>= ``sig_match_frac``
   of the n_perm MinHash components equal — the standard streaming-scale
   verify: signatures are fixed-width state, unlike shingle sets which
