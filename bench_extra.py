@@ -1,0 +1,261 @@
+#!/usr/bin/env python
+"""Round-7 optimization measurement harness (bench.py stays FROZEN).
+
+Modes:
+  --plans OUTDIR SUFFIX      dump .explain("formatted") for every bench query
+                             to OUTDIR/<query>_<SUFFIX>.txt
+  --time q1,q2,...           noop-timed warm reps (SPARK_GRAFT_BENCH_REPS,
+                             default 3 + 1 warmup) for a subset of queries at
+                             $SPARK_GRAFT_SF_DIR; prints one JSON line
+  --isolate-dedup            stage-by-stage timing of the dedup family
+                             internals (shingle scan, hashing, sig, bucket,
+                             pair gen, verify) at $SPARK_GRAFT_SF_DIR
+
+Query names match bench.py (incl. extract_complete / extract_noncomplete /
+extract_documents_out / extract_documents_out_grouped and the production
+contamination / lsh_knn_join / knn_join variants).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _bench_query_builders(spark):
+    """Return {name: zero-arg builder -> DataFrame-or-action} mirroring
+    bench.py's run_once query set (extract actions return None; they run
+    their own noop internally)."""
+    import bench as B
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from osm_cut_spark.functions.geometry import prepare_polygon
+    from osm_cut_spark.operators.extract import auto_cover, extract, make_point_selector
+
+    sf = B.sf_of(SF_DIR)
+    path, _ = B.docs_parquet(spark, sf)
+    docs = spark.read.parquet(path)
+    poly = prepare_polygon([("include", entry.TRIANGLE)])
+    cover = auto_cover(poly)
+    selector = make_point_selector(spark, poly, cover)
+    qs = entry.queries()
+
+    def run_extract(complete, out, grouped=False):
+        res = extract(spark, docs, poly, complete=complete, cover=cover,
+                      doc_grouped_output=grouped, selector=selector)
+        noop(res.elements() if out == "elements" else res.documents())
+        res.release()
+
+    def bench_contamination():
+        from osm_cut_spark.operators.dedup import minhash_lsh_join
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return minhash_lsh_join(
+            d.filter(F.col("doc_id") % 7 != 0),
+            d.filter(F.col("doc_id") % 7 == 0),
+            jaccard_threshold=0.3, n_perm=16, bands=8,
+        )
+
+    def bench_lsh_knn_join():
+        from osm_cut_spark.operators.simsearch import lsh_knn_join
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        return lsh_knn_join(
+            spark,
+            emb.filter(F.col("vec_id") >= 5),
+            emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "qid"),
+            k=5, n_planes=32, n_bands=16, dim=64,
+        )
+
+    def bench_knn_join():
+        from osm_cut_spark.operators.knn import knn_join
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        pts = li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pt_id"),
+            ((F.col("l_orderkey") % 1500) / 100.0).alias("x"),
+            ((F.col("l_partkey") % 1100) / 100.0).alias("y"),
+        )
+        q = pts.limit(200).select(F.col("pt_id").alias("qid"), "x", "y")
+        return knn_join(spark, pts, q, k=5, res=10, radius=2,
+                        id_col="pt_id", q_id_col="qid", lon_col="x", lat_col="y")
+
+    builders = {}
+    builders["extract_complete"] = lambda: run_extract(True, "elements")
+    builders["extract_noncomplete"] = lambda: run_extract(False, "elements")
+    builders["extract_documents_out"] = lambda: run_extract(False, "documents")
+    builders["extract_documents_out_grouped"] = lambda: run_extract(False, "documents", True)
+    for name in [
+        "pip_node_filter", "way_semijoin", "completion_refs", "relation_closure",
+        "knn_cosine", "window_topk", "exact_dedup", "minhash_pairs",
+        "simhash_pairs", "token_stats", "repetition_stats", "boilerplate_ngrams",
+        "raster_vector_join", "pack_sequences", "asof_join", "lookback_agg",
+    ]:
+        builders[name] = (lambda n=name: qs[n](spark, SF_DIR))
+    builders["contamination"] = bench_contamination
+    builders["lsh_knn_join"] = bench_lsh_knn_join
+    builders["knn_join"] = bench_knn_join
+    return builders
+
+
+def plans_main(outdir: str, suffix: str):
+    from osm_cut_spark.session import get_session
+
+    spark = get_session(app_name="osm_cut_plans", cpus=CPUS)
+    out = Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    builders = _bench_query_builders(spark)
+    import bench as B
+    import __spark_entry__ as entry
+    from osm_cut_spark.functions.geometry import prepare_polygon
+    from osm_cut_spark.operators.extract import auto_cover, extract, make_point_selector
+
+    sf = B.sf_of(SF_DIR)
+    path, _ = B.docs_parquet(spark, sf)
+    docs = spark.read.parquet(path)
+    poly = prepare_polygon([("include", entry.TRIANGLE)])
+    cover = auto_cover(poly)
+    selector = make_point_selector(spark, poly, cover)
+
+    def extract_df(complete, out_kind, grouped=False):
+        res = extract(spark, docs, poly, complete=complete, cover=cover,
+                      doc_grouped_output=grouped, selector=selector)
+        return res.elements() if out_kind == "elements" else res.documents()
+
+    plan_dfs = {
+        "extract_complete": lambda: extract_df(True, "elements"),
+        "extract_noncomplete": lambda: extract_df(False, "elements"),
+        "extract_documents_out": lambda: extract_df(False, "documents"),
+        "extract_documents_out_grouped": lambda: extract_df(False, "documents", True),
+    }
+    for name, fn in builders.items():
+        if name.startswith("extract_"):
+            fn = plan_dfs[name]
+        try:
+            df = fn()
+            if df is None:
+                continue
+            txt = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+            (out / f"{name}_{suffix}.txt").write_text(txt)
+            print(f"wrote {name}_{suffix}.txt ({len(txt)} chars)")
+        except Exception as e:  # pragma: no cover
+            print(f"PLAN FAIL {name}: {e}")
+
+
+def time_main(names: list[str]):
+    from osm_cut_spark.session import get_session
+
+    spark = get_session(app_name="osm_cut_bench_extra", cpus=CPUS)
+    builders = _bench_query_builders(spark)
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10).count()
+    out = {}
+    for name in names:
+        fn = builders[name]
+        walls = []
+        for _ in range(REPS + 1):
+            t0 = time.perf_counter()
+            r = fn()
+            if r is not None:
+                noop(r)
+            walls.append(round(time.perf_counter() - t0, 3))
+        out[name] = {"min_warm": min(walls[1:]), "reps": walls}
+        print(f"{name}: {out[name]}", file=sys.stderr)
+    print(json.dumps({"sf_dir": SF_DIR, "cpus": CPUS, "queries": out}))
+
+
+def isolate_dedup_main():
+    """Stage-by-stage cost of the dedup family on the sf documents table."""
+    from pyspark.sql import functions as F
+
+    from osm_cut_spark.operators import dedup as D
+    from osm_cut_spark.session import get_session
+
+    spark = get_session(app_name="osm_cut_isolate", cpus=CPUS)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.limit(10).count()
+    n_perm, bands = 16, 8
+    rpb = n_perm // bands
+
+    stages = {}
+
+    def timed(name, mk):
+        walls = []
+        for _ in range(REPS + 1):
+            t0 = time.perf_counter()
+            noop(mk())
+            walls.append(round(time.perf_counter() - t0, 3))
+        stages[name] = {"min_warm": min(walls[1:]), "reps": walls}
+        print(f"{name}: {stages[name]}", file=sys.stderr)
+
+    def sh_df():
+        return docs.select(F.col("doc_id").alias("_id"), D.shingles(3).alias("sh"))
+
+    def hs_df(replayable):
+        return sh_df().select("_id", D.base_hashes(F.col("sh"), replayable).alias("hs"))
+
+    def sig_df(replayable):
+        return hs_df(replayable).select(
+            "_id", D.minhash_sig_from_hashes(F.col("hs"), n_perm).alias("sig"))
+
+    def banded_df(replayable):
+        return sig_df(replayable).select(
+            "_id", F.explode(D.band_buckets(F.col("sig"), bands, rpb, replayable)).alias("bucket"))
+
+    # tokenization / shingling / hashing ladder (replayable = md5 oracle hash)
+    timed("scan_text_only", lambda: docs.select("doc_id", F.length("text")))
+    timed("tokens_only", lambda: docs.select("doc_id", D.normalize_tokens().alias("t")))
+    timed("shingles_only", sh_df)
+    timed("hashes_md5", lambda: hs_df(True))
+    timed("hashes_xx", lambda: hs_df(False))
+    timed("sig_md5", lambda: sig_df(True))
+    timed("banded_md5", lambda: banded_df(True))
+    timed("minhash_pairs_full_md5", lambda: D.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.3, n_perm=16, bands=8, replayable=True))
+    timed("minhash_pairs_full_xx", lambda: D.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.3, n_perm=16, bands=8, replayable=False))
+
+    # simhash ladder
+    timed("grams1_md5_hashes", lambda: docs.select(
+        F.col("doc_id").alias("_id"),
+        F.transform(D._gram_col("text", 2), lambda t: D.h64_md5(t)).alias("hashes")))
+    timed("simhash_docs_md5", lambda: D.simhash_docs(docs, replayable=True))
+    timed("simhash_pairs_full_md5", lambda: D.simhash_dup_pairs(
+        docs, max_hamming=6, replayable=True))
+
+    # contamination (production xxhash) ladder
+    def contam():
+        return D.minhash_lsh_join(
+            docs.filter(F.col("doc_id") % 7 != 0),
+            docs.filter(F.col("doc_id") % 7 == 0),
+            jaccard_threshold=0.3, n_perm=16, bands=8)
+
+    timed("contamination_full_xx", contam)
+    print(json.dumps({"sf_dir": SF_DIR, "cpus": CPUS, "stages": stages}))
+
+
+if __name__ == "__main__":
+    if "--plans" in sys.argv:
+        i = sys.argv.index("--plans")
+        plans_main(sys.argv[i + 1], sys.argv[i + 2])
+    elif "--time" in sys.argv:
+        time_main(sys.argv[sys.argv.index("--time") + 1].split(","))
+    elif "--isolate-dedup" in sys.argv:
+        isolate_dedup_main()
+    else:
+        print(__doc__)

@@ -72,7 +72,13 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def shingles(n: int = 3, text_col: str = "text"):
-    """Word n-gram shingle array column (distinct, deterministic)."""
+    """Word n-gram shingle array column (distinct, deterministic).
+
+    Compat shim — prefer staging the token array in its own projection and
+    calling ``shingles_from_tokens`` on the attribute: higher-order lambdas
+    run interpreted with NO loop-invariant hoisting, so inlining the
+    tokenizer here re-splits the whole text once per n-gram (O(n_tokens²)
+    per document — measured 31 s of a 44 s minhash wall at sf1.0)."""
     toks = normalize_tokens(text_col)
     return F.array_distinct(
         F.when(
@@ -83,6 +89,34 @@ def shingles(n: int = 3, text_col: str = "text"):
             ),
         ).otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+def shingles_from_tokens(toks_col, n: int, distinct: bool = True):
+    """Shingle array from a MATERIALIZED token-array column (same values as
+    ``shingles`` — the slice inside the lambda now reads an attribute, so
+    each n-gram costs O(n) instead of a full re-tokenize).
+
+    ``distinct=False`` skips the dedup pass — valid wherever downstream
+    math is duplicate-insensitive (MinHash signature mins; band buckets
+    derived from them): the distinct VALUE set is identical, so every
+    ``min`` over the hashes — and everything derived from the mins — is
+    bit-identical with or without it."""
+    arr = F.when(
+        F.size(toks_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks_col) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks_col)))
+    return F.array_distinct(arr) if distinct else arr
+
+
+def _staged_shingles(docs: DataFrame, id_col: str, text_col: str, n: int,
+                     out_id: str = "_id") -> DataFrame:
+    """(out_id, sh) with the token array staged in its own projection."""
+    return docs.select(
+        F.col(id_col).alias(out_id), normalize_tokens(text_col).alias("_toks")
+    ).select(out_id, shingles_from_tokens(F.col("_toks"), n).alias("sh"))
 
 
 MASK31 = (1 << 31) - 1
@@ -152,6 +186,90 @@ def band_buckets(sig_col, bands: int, rows_per_band: int, replayable: bool = Fal
     )
 
 
+def minhash_sig_cols(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int,
+    shingle_n: int,
+    replayable: bool,
+    out_id: str = "_id",
+) -> DataFrame:
+    """(out_id, _m0.._m{n_perm-1}) MinHash signature via WHOLE-STAGE-CODEGEN
+    aggregation instead of interpreted array folds.
+
+    Pipeline: staged tokens -> staged (non-distinct) shingle strings ->
+    ``explode`` -> scalar hash projection -> ``groupBy(id).agg(min(...))``
+    per permutation.  Everything after the shingle build runs in codegen
+    (the hash is a scalar expression on a string column; the n_perm mins
+    are declarative aggregates with map-side partial aggregation, so the
+    one extra exchange carries ONE slim row per document).  Values are
+    bit-identical to the array_min(transform(...)) form: a min over the
+    same value multiset, duplicates and order irrelevant."""
+    t = docs.select(
+        F.col(id_col).alias(out_id), normalize_tokens(text_col).alias("_toks")
+    )
+    g = t.select(
+        out_id, shingles_from_tokens(F.col("_toks"), shingle_n, distinct=False).alias("_g")
+    )
+    # explode_outer, NOT explode: the gram array is non-empty by
+    # construction (the short-doc fallback always yields one element), so
+    # the two are row-identical here — but plain explode synthesizes a
+    # ``size(_g) > 0`` filter that predicate-pushdown re-expands BELOW the
+    # spread exchange (un-staging the token alias back into an O(n²)
+    # re-tokenize on the scan's 1-2 tasks; measured +31 s at sf1.0)
+    h = g.select(out_id, F.explode_outer("_g").alias("_s")).select(
+        out_id, _hash64(F.col("_s"), replayable).bitwiseAND(F.lit(MASK31)).alias("_h")
+    )
+    aggs = []
+    for p in range(n_perm):
+        a, b = _perm_consts(p)
+        aggs.append(
+            F.min(
+                (F.lit(a) * F.col("_h") + F.lit(b)).bitwiseAND(F.lit(MASK61))
+            ).alias(f"_m{p}")
+        )
+    return h.groupBy(out_id).agg(*aggs)
+
+
+def band_bucket_exprs(bands: int, rows_per_band: int, replayable: bool = False):
+    """Per-band bucket-key expressions over ``minhash_sig_cols`` output —
+    plain scalar concat+hash (codegen), byte-identical strings to
+    ``band_buckets`` (same "b:sig,sig" layout, same hash)."""
+    out = []
+    for b in range(bands):
+        parts = F.concat_ws(
+            ",",
+            *[
+                F.col(f"_m{b * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)
+            ],
+        )
+        out.append(_hash64(F.concat(F.lit(f"{b}:"), parts), replayable))
+    return out
+
+
+def _banded_ids(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int,
+    bands: int,
+    shingle_n: int,
+    replayable: bool,
+    out_id: str = "_id",
+) -> DataFrame:
+    """(out_id, bucket) — one row per document per band, fully codegen."""
+    rows_per_band = n_perm // bands
+    sig = minhash_sig_cols(docs, id_col, text_col, n_perm, shingle_n, replayable, out_id)
+    return sig.select(
+        out_id,
+        F.explode(F.array(*band_bucket_exprs(bands, rows_per_band, replayable))).alias(
+            "bucket"
+        ),
+    )
+
+
 def _jaccard_cols(threshold: float):
     """(i_size, u_size, jaccard) projections + the threshold predicate.
 
@@ -183,14 +301,18 @@ def minhash_lsh_pairs(
     shingle Jaccard >= threshold.  Returns
     (id_a, id_b, i_size, u_size, jaccard).
 
-    Physical plan: the docs scan computes shingles -> base hashes -> sig ->
-    buckets ONCE (staged projections, each non-cheap array materialized a
-    single time); candidate pairs come from one groupBy(bucket) +
-    collect_list with in-bucket combination expansion (no self-join, so no
-    second scan and no anti-join pass — the ``max_bucket`` cap is a size
-    filter on the grouped ids, bounding the per-bucket combination array at
-    C(max_bucket, 2)); shingle arrays re-enter only via two slim joins on
-    the final (small) candidate set.
+    Physical plan (round-7 shape): staged tokens -> staged shingle strings
+    -> explode -> codegen hash -> groupBy(id) partial-agg mins
+    (``minhash_sig_cols``: one slim row per doc crosses the sig exchange;
+    the per-permutation folds run in whole-stage codegen, not interpreted
+    lambdas) -> scalar band-bucket hashes; candidate pairs come from one
+    groupBy(bucket) + collect_list with in-bucket combination expansion
+    (no self-join — the ``max_bucket`` cap is a size filter on the grouped
+    ids, bounding the per-bucket combination array at C(max_bucket, 2));
+    the pair set is persisted (near-dup-sized) and the exact-Jaccard
+    verify recomputes shingles ONLY for candidate documents behind a
+    broadcast semi-join (late materialization — the corpus is scanned
+    once for signatures, and candidate docs once more for the verify).
 
     Pass ``metrics`` (a dict) to surface the cap: the operator stores a
     LAZY one-row DataFrame under ``metrics["dropped_buckets"]`` counting
@@ -200,13 +322,10 @@ def minhash_lsh_pairs(
     drops CollectMetrics below exchange boundaries, see
     session.observed_metrics).
     """
-    rows_per_band = n_perm // bands
-    sh_df = docs.select(F.col(id_col).alias("_id"), shingles(shingle_n, text_col).alias("sh"))
-    hs = sh_df.select("_id", base_hashes(F.col("sh"), replayable).alias("hs"))
-    sig = hs.select("_id", minhash_sig_from_hashes(F.col("hs"), n_perm).alias("sig"))
-    banded = sig.select(
-        "_id", F.explode(band_buckets(F.col("sig"), bands, rows_per_band, replayable)).alias("bucket")
-    )
+    from osm_cut_spark.session import spread_scan
+
+    docs = spread_scan(docs, id_col)
+    banded = _banded_ids(docs, id_col, text_col, n_perm, bands, shingle_n, replayable)
     buckets = banded.groupBy("bucket").agg(F.collect_list("_id").alias("ids"))
     if metrics is not None:
         metrics["dropped_buckets"] = buckets.filter(
@@ -226,10 +345,25 @@ def minhash_lsh_pairs(
         )
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # candidate pairs are near-dup-sized (tiny next to the corpus) and
+        # are read 3x below (two verify joins + the candidate-id pruning
+        # broadcast) — persist so the LSH subtree runs once per action
+        .persist()
     )
 
-    sh_a = sh_df.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh_df.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # LATE-MATERIALIZED verify (guide §8: decide on small rows, touch heavy
+    # rows once): shingles are recomputed ONLY for documents that appear in
+    # a candidate pair — a broadcast semi-join prunes the docs scan before
+    # the shingle build, replacing two more full-corpus shingle passes.
+    cand_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("_cid")
+    ).distinct()
+    cand_docs = docs.join(
+        F.broadcast(cand_ids), F.col(id_col) == F.col("_cid"), "left_semi"
+    )
+    sh_c = _staged_shingles(cand_docs, id_col, text_col, shingle_n)
+    sh_a = sh_c.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_c.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
     i_size, u_size, pred = _jaccard_cols(jaccard_threshold)
     return (
         pairs.join(sh_a, "id_a")
@@ -259,31 +393,23 @@ def minhash_lsh_join(
     corpus, B = evaluation set; every hit is a document to quarantine).
 
     Same physical shape as ``minhash_lsh_pairs`` but two-sided: each side
-    computes shingles -> base hashes -> signature -> band buckets once;
-    the bucket join carries ONLY (id, bucket); buckets whose A×B
-    candidate product exceeds ``max_bucket_pairs`` are dropped (explicit
-    approximation knob — replay the same cap in any oracle); shingles
-    re-enter via two slim joins on the candidate set for the exact
-    verify.  Returns (id_a, id_b, i_size, u_size, jaccard).
+    runs the codegen sig pipeline (staged tokens -> explode -> hash ->
+    partial-agg mins) once; the bucket join carries ONLY (id, bucket);
+    buckets whose A×B candidate product exceeds ``max_bucket_pairs`` are
+    dropped (explicit approximation knob — replay the same cap in any
+    oracle); the persisted candidate set prunes each side's verify-shingle
+    recompute behind a broadcast semi-join (late materialization).  Returns (id_a, id_b, i_size, u_size, jaccard).
     ``metrics`` (optional dict) receives a lazy one-row DataFrame under
     ``"dropped_buckets"`` — over-cap buckets the cap discarded.
     """
-    rows_per_band = n_perm // bands
+    from osm_cut_spark.session import spread_scan
 
-    def prep(docs: DataFrame, out_id: str):
-        sh = docs.select(F.col(id_col).alias(out_id), shingles(shingle_n, text_col).alias("sh"))
-        hs = sh.select(out_id, base_hashes(F.col("sh"), replayable).alias("hs"))
-        sig = hs.select(out_id, minhash_sig_from_hashes(F.col("hs"), n_perm).alias("sig"))
-        banded = sig.select(
-            out_id,
-            F.explode(
-                band_buckets(F.col("sig"), bands, rows_per_band, replayable)
-            ).alias("bucket"),
-        )
-        return sh, banded
-
-    sh_a, banded_a = prep(docs_a, "id_a")
-    sh_b, banded_b = prep(docs_b, "id_b")
+    docs_a = spread_scan(docs_a, id_col)
+    docs_b = spread_scan(docs_b, id_col)
+    banded_a = _banded_ids(docs_a, id_col, text_col, n_perm, bands, shingle_n,
+                           replayable, out_id="id_a")
+    banded_b = _banded_ids(docs_b, id_col, text_col, n_perm, bands, shingle_n,
+                           replayable, out_id="id_b")
     ga = banded_a.groupBy("bucket").agg(F.collect_list("id_a").alias("ia"))
     gb = banded_b.groupBy("bucket").agg(F.collect_list("id_b").alias("ib"))
     joined = ga.join(gb, "bucket")
@@ -304,11 +430,26 @@ def minhash_lsh_join(
         )
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # read 3x below (two verify joins + candidate pruning) — persist so
+        # the two-sided LSH subtree runs once per action
+        .persist()
     )
+    # late-materialized verify: each side's shingles recomputed only for its
+    # candidate ids behind a broadcast semi-join (see minhash_lsh_pairs)
     i_size, u_size, pred = _jaccard_cols(jaccard_threshold)
+
+    def cand_shingles(docs, pair_id):
+        ids = pairs.select(F.col(pair_id).alias("_cid")).distinct()
+        cand = docs.join(
+            F.broadcast(ids), F.col(id_col) == F.col("_cid"), "left_semi"
+        )
+        return _staged_shingles(cand, id_col, text_col, shingle_n, out_id=pair_id)
+
+    sh_a = cand_shingles(docs_a, "id_a").withColumnRenamed("sh", "sh_a")
+    sh_b = cand_shingles(docs_b, "id_b").withColumnRenamed("sh", "sh_b")
     return (
-        pairs.join(sh_a.withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh_b.withColumnRenamed("sh", "sh_b"), "id_b")
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .select("id_a", "id_b", i_size, u_size)
         .filter(pred)
         .withColumn("jaccard", F.col("i_size") / F.col("u_size"))
@@ -335,7 +476,9 @@ def ngram_jaccard_pairs(
     """
     if not (0.0 < jaccard_threshold <= 1.0):
         raise ValueError("jaccard_threshold must be in (0, 1]")
-    s = docs.select(F.col(id_col).alias("_id"), shingles(shingle_n, text_col).alias("sh"))
+    from osm_cut_spark.session import spread_scan
+
+    s = _staged_shingles(spread_scan(docs, id_col), id_col, text_col, shingle_n)
     if jaccard_threshold >= 1.0:
         band = F.size("sh").cast("long")
         keys = F.array(band)
@@ -359,12 +502,24 @@ def ngram_jaccard_pairs(
 
 def _gram_col(text_col: str, ngram: int):
     """Distinct word n-grams with the SimHash fallback shape (short docs
-    yield partial grams rather than the shingles() whole-doc fallback)."""
+    yield partial grams rather than the shingles() whole-doc fallback).
+    Compat shim — prefer ``grams_from_tokens`` over a staged token column
+    (this form re-tokenizes the text once per gram, see ``shingles``)."""
     toks = normalize_tokens(text_col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram)),
+        )
+    )
+
+
+def grams_from_tokens(toks_col, ngram: int):
+    """Same gram set as ``_gram_col`` from a MATERIALIZED token array."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks_col) - ngram, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, ngram)),
         )
     )
 
@@ -398,18 +553,45 @@ def simhash_docs(
     """(_id, sh) SimHash per document.  63 bits with xxhash64 (sign bit
     avoided); 60 bits with the replayable md5 hash (its full width).
 
-    Staged projections keep each non-cheap array expression (tokens ->
-    grams -> hashes) materialized exactly once per row instead of
-    re-expanding inside every bit term (round-1 codegen bomb).
+    Round-7 shape: staged tokens -> staged DISTINCT grams -> ``explode``
+    -> codegen scalar hash -> ONE ``groupBy(id)`` with n_bits declarative
+    ``sum((h >> b) & 1)`` aggregates + a count, then a codegen projection
+    folds the majorities into the hash.  Bit-identical to the
+    ``simhash_from_hashes`` filter-per-bit form (each per-bit count is the
+    same integer), but the counting runs in whole-stage codegen with
+    map-side partial aggregation instead of n_bits interpreted
+    filter-allocate passes per row, and the one extra exchange carries a
+    single slim row per document.  (``array_distinct`` on the gram
+    STRINGS is kept — SimHash counts each distinct gram once, and
+    collapsing post-hash instead could merge hash-colliding grams.)
     """
     n_bits = 60 if replayable else 63
-    grams = docs.select(F.col(id_col).alias("_id"), _gram_col(text_col, ngram).alias("grams"))
-    hashed = grams.select(
-        "_id", F.transform(F.col("grams"), lambda t: _hash64(t, replayable)).alias("hashes")
-    ).select("_id", "hashes", F.size("hashes").alias("n"))
-    return hashed.select(
-        "_id", simhash_from_hashes(F.col("hashes"), F.col("n"), n_bits).alias("sh")
+    t = docs.select(
+        F.col(id_col).alias("_id"), normalize_tokens(text_col).alias("_toks")
     )
+    g = t.select("_id", grams_from_tokens(F.col("_toks"), ngram).alias("_g"))
+    # explode_outer: row-identical (the gram array is never empty) but does
+    # not synthesize the size()>0 filter that predicate-pushdown would
+    # re-expand below the exchange — see minhash_sig_cols
+    h = g.select("_id", F.explode_outer("_g").alias("_s")).select(
+        "_id", _hash64(F.col("_s"), replayable).alias("_h")
+    )
+    cnt = h.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("_h"), b).bitwiseAND(F.lit(1))
+            ).alias(f"_c{b}")
+            for b in range(n_bits)
+        ],
+    )
+    sh = F.lit(0).cast("long")
+    for b in range(n_bits):
+        sh = sh.bitwiseOR(
+            F.when(F.col(f"_c{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return cnt.select("_id", sh.alias("sh"))
 
 
 def _hamming_blocks(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
@@ -459,7 +641,9 @@ def simhash_dup_pairs(
         n_blocks = max_hamming + 1
     if n_blocks < max_hamming + 1:
         raise ValueError("pigeonhole requires n_blocks >= max_hamming + 1")
-    s = simhash_docs(docs, id_col, text_col, replayable=replayable)
+    from osm_cut_spark.session import spread_scan
+
+    s = simhash_docs(spread_scan(docs, id_col), id_col, text_col, replayable=replayable)
     chunks = s.select(
         "_id",
         "sh",

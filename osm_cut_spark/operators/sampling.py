@@ -103,6 +103,12 @@ def pack_sequences(
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
+    from osm_cut_spark.session import spread_scan
+
+    # tokenize runs BEFORE the range exchange (so the exchange carries one
+    # long per row, not text) — spread an underpartitioned scan first or
+    # that map-side tokenize serializes on the source's 1-2 tasks
+    docs = spread_scan(docs, id_col)
     spark = docs.sparkSession
     # null text counts as 0 tokens (a null here would poison the driver-side
     # prefix scan and silently drop rows from partition totals)

@@ -24,6 +24,9 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     Staged projection: the split+filter HOF runs interpreted (no codegen
     subexpression elimination), so it is named ONCE and the counts read
     the alias instead of re-splitting the text per output column."""
+    from osm_cut_spark.session import spread_scan
+
+    docs = spread_scan(docs, id_col)
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     return docs.select(
         F.col(id_col),
@@ -147,12 +150,17 @@ def repetition_stats(
     100 TB plan shape: every signal is a per-row JVM higher-order fold
     (``aggregate`` over the sorted token array for the top-word count,
     over the raw array for the run length; ``zip_with`` shifted slices
-    for the n-grams) — NO explode, NO shuffle, no Python; the whole
-    operator is one narrow projection inside whole-stage codegen, so it
-    composes with any scan at any scale.  Fractions keep the exact
-    integer-subtraction-then-divide shape so the DuckDB oracle replays
-    them bit-for-bit.
+    for the n-grams) — NO explode, no Python; the whole operator is one
+    narrow projection, so it composes with any scan at any scale.  The
+    only possible shuffle is ``spread_scan``'s read-side repartition when
+    the SOURCE is underpartitioned (tiny/unsplittable files); a
+    well-partitioned scan keeps the shuffle-free plan.  Fractions keep
+    the exact integer-subtraction-then-divide shape so the DuckDB oracle
+    replays them bit-for-bit.
     """
+    from osm_cut_spark.session import spread_scan
+
+    docs = spread_scan(docs, id_col)
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     base = docs.select(F.col(id_col), toks.alias("_toks"))
     t = F.col("_toks")
@@ -274,7 +282,9 @@ def boilerplate_ngrams(
     ~k·|grams|/2^64, negligible).
     """
     from osm_cut_spark.operators.dedup import _hash64
+    from osm_cut_spark.session import spread_scan
 
+    docs = spread_scan(docs, id_col)
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     base = docs.select(F.col(id_col).alias("_doc"), toks.alias("_toks"))
     grams = F.when(
@@ -284,7 +294,14 @@ def boilerplate_ngrams(
             f" i -> array_join(slice(_toks, i, {n}), ' '))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = base.select("_doc", F.explode(grams).alias("ngram"))
+    # explode_outer + isNotNull == explode row-for-row here (gram strings
+    # are concat_ws outputs, never null; short docs' empty arrays yield one
+    # null row that the filter drops) — but unlike explode it synthesizes
+    # no size(grams)>0 predicate for pushdown to re-expand the staged token
+    # alias below the spread exchange (see dedup.minhash_sig_cols)
+    exploded = base.select("_doc", F.explode_outer(grams).alias("ngram")).filter(
+        F.col("ngram").isNotNull()
+    )
     hashed = exploded.select(
         _hash64(F.col("ngram"), replayable).alias("_h"), "_doc"
     )

@@ -58,6 +58,39 @@ def get_session(
     return spark
 
 
+def spread_scan(df, key_col: str | None = None, min_factor: int = 2, target_factor: int = 2):
+    """Scale-adaptive read-side parallelism (optimization-guide §2.5,
+    "input skew: one huge unsplittable file ... repartition immediately
+    after the read").
+
+    When the planned partition count of ``df`` is far below the session's
+    core count — the tiny-file / single-row-group corpus case, where every
+    narrow per-row stage would otherwise run on 1-2 cores — repartition to
+    ``target_factor * cores``.  A well-partitioned source (the 100 TB
+    deployment, where scans plan orders of magnitude more splits than
+    cores) passes through untouched, so this is adaptive, not a local-mode
+    constant: the trigger condition compares the *input's* parallelism to
+    the *session's*, both of which scale.
+
+    ``key_col`` selects hash partitioning (no sort-before-repartition
+    pass, deterministic under retries); without it a round-robin
+    repartition is used.  The ``.rdd`` partition probe only plans the
+    scan — no job is launched.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if nparts * min_factor <= cores:
+        n = cores * target_factor
+        return df.repartition(n, F.col(key_col)) if key_col else df.repartition(n)
+    return df
+
+
 def observed_metrics(observation, *names: str) -> dict[str, int | float | None]:
     """Read metrics from a pyspark ``Observation`` after an action.
 

@@ -42,8 +42,10 @@ Design (per microbatch = one epoch):
   reads the PRE-epoch snapshot (``_read_before_epoch``) and is therefore
   replay-stable even when the crashed attempt already appended state;
 * index buckets larger than ``max_bucket`` are dropped from candidate
-  generation (explicit approximation knob, same discipline as the batch
-  operators) and counted in the epoch's snapshot properties;
+  generation, and within-batch buckets over the same cap are dropped from
+  the pair expansion (explicit approximation knobs, same discipline as
+  the batch operators); both counts land in the epoch's snapshot
+  properties (``dropped_buckets`` / ``dropped_buckets_within``);
 * every ``compact_every`` epochs the state tables are compacted and old
   snapshots expired (keep_last=4, the replay-safety floor with margin),
   bounding live file counts, on-disk dirs, and snapshot logs.
@@ -66,9 +68,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from osm_cut_spark.operators.dedup import (
     band_buckets,
-    base_hashes,
-    minhash_sig_from_hashes,
-    shingles,
+    minhash_sig_cols,
 )
 from osm_cut_spark.sources.icelite import IceLiteTable
 from osm_cut_spark.streaming.ingest_stream import (
@@ -78,6 +78,11 @@ from osm_cut_spark.streaming.ingest_stream import (
 )
 
 DEFAULT_DOC_SCHEMA = "doc_id BIGINT, text STRING"
+
+# per-epoch index-append fan-out: a small fixed count keeps the appended
+# files bkt-range-disjoint (min/max pruning intact) while letting a large
+# trigger's append write in parallel instead of through one task
+INDEX_APPEND_PARTITIONS = 4
 
 
 def _sig_matches(sig_a, sig_b):
@@ -108,11 +113,12 @@ def _dedup_epoch(
     min_matches = math.ceil(sig_match_frac * n_perm)
 
     docs_b = batch_df.persist()
-    sh = docs_b.select(F.col(id_col).alias("_id"), shingles(shingle_n, text_col).alias("sh"))
-    hs = sh.select("_id", base_hashes(F.col("sh"), False).alias("hs"))
-    sigs_b = hs.select(
-        "_id", minhash_sig_from_hashes(F.col("hs"), n_perm).alias("sig")
+    # round-7: signatures via the codegen explode/partial-agg pipeline
+    # (bit-identical values, no interpreted per-gram re-tokenize)
+    sigs_b = minhash_sig_cols(docs_b, id_col, text_col, n_perm, shingle_n, False).select(
+        "_id", F.array(*[F.col(f"_m{p}") for p in range(n_perm)]).alias("sig")
     ).persist()
+    dropped = kept_b = None
     try:
         buckets_b = sigs_b.select(
             "_id",
@@ -171,11 +177,18 @@ def _dedup_epoch(
                 .select("new_id", F.col("old_id").alias("dup_of"), "matches")
             )
 
-        # ---- within-batch pairs (bucket-group expansion, batch-bounded)
+        # ---- within-batch pairs (bucket-group expansion, batch-bounded,
+        # and max_bucket-capped with the SAME discipline as the batch
+        # operators — a degenerate trigger of near-identical docs must not
+        # build C(batch, 2) structs in one bucket row; dropped within-batch
+        # buckets are counted into the epoch's snapshot properties)
+        grouped_in = buckets_b.groupBy("bucket").agg(
+            F.collect_list("_id").alias("ids")
+        )
+        n_dropped_within = grouped_in.filter(F.size("ids") > max_bucket).count()
         pairs_in = (
-            buckets_b.groupBy("bucket")
-            .agg(F.collect_list("_id").alias("ids"))
-            .filter(F.size("ids") >= 2)
+            grouped_in
+            .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
             .select(
                 F.explode(
                     F.expr(
@@ -223,7 +236,11 @@ def _dedup_epoch(
                 F.explode(band_buckets(F.col("sig"), bands, rows_per_band)).alias("bucket"),
             )
             .withColumn("bkt", F.pmod("bucket", F.lit(N_KEY_BUCKETS)).cast("int"))
-            .repartition(1)
+            # bkt-range partitioning: a handful of bkt-disjoint files whose
+            # min/max stats still prune probes, WITHOUT serializing a large
+            # trigger's index append through one task (the old
+            # repartition(1) single-task write stall)
+            .repartitionByRange(INDEX_APPEND_PARTITIONS, "bkt")
             .sortWithinPartitions("bkt")  # file/row-group min-max stats prune probes
         )
         _append_once(index_tbl, idx_b, epoch_id)
@@ -242,14 +259,19 @@ def _dedup_epoch(
             "n_kept": n_kept,
             "n_dropped": n_in - n_kept,
             "dropped_buckets": n_dropped_buckets,
+            "dropped_buckets_within": n_dropped_within,
         }
         if not any(
             s["properties"].get("epoch") == epoch_id for s in kept_tbl.snapshots()
         ):
             kept_tbl.append(kept_b, properties=_append_once_props)
-        dropped.unpersist()
-        kept_b.unpersist()
     finally:
+        # release in the finally block so a crashed-then-replayed epoch (the
+        # module's designed failure mode) does not leak cached blocks
+        if dropped is not None:
+            dropped.unpersist()
+        if kept_b is not None:
+            kept_b.unpersist()
         sigs_b.unpersist()
         docs_b.unpersist()
 

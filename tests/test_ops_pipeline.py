@@ -251,18 +251,33 @@ def test_dedup_plan_stays_jvm(spark, docs):
 
 
 def test_minhash_plan_shape(spark, docs):
-    """Round-2 plan guarantees: the signature pipeline scans the docs table
-    exactly 3 times (sig -> buckets, plus the two slim exact-Jaccard
-    verify joins) and never uses a window (bucket capping is an aggregate,
-    not a per-row count-over)."""
+    """Round-7 plan guarantees: the LSH candidate subtree is computed once
+    (persisted — InMemoryTableScan on every reuse), the exact-Jaccard
+    verify recomputes shingles only behind candidate-pruning LeftSemi
+    joins (late materialization), the shingle explode is the outer form
+    (no size()>0 predicate pushed below the spread exchange to re-expand
+    the staged tokenizer), and no window is used anywhere (bucket capping
+    is an aggregate, not a per-row count-over)."""
     from osm_cut_spark.operators.dedup import minhash_lsh_pairs, simhash_dup_pairs
 
-    plan = minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    out = minhash_lsh_pairs(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
-    assert plan.count("Scan parquet") <= 3, plan.count("Scan parquet")
+    # candidate pair set cached, reused by the verify joins + id pruning
+    assert "InMemoryTableScan" in plan
+    # both verify shingle rebuilds are candidate-pruned semi-joins
+    assert plan.count("LeftSemi") >= 2, plan
+    # the gram explode must be outer (no pushable size() filter) and no
+    # Filter on the scan may carry a higher-order tokenize expression
+    assert ", true, [_s" in plan, "gram explode is not the outer form"
+    import re
+
+    for m in re.finditer(r"DataFilters: \[([^\]]*)\]", plan):
+        assert "lambdafunction" not in m.group(1), m.group(1)
     splan = simhash_dup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in splan
-    # single-scan groupBy pair expansion: the 63-bit-term simhash runs once
+    # single-scan groupBy pair expansion: the bit-count aggregation and the
+    # chunk expansion run off ONE docs scan
     assert splan.count("Scan parquet") == 1, splan.count("Scan parquet")
 
 
