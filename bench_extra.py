@@ -179,6 +179,97 @@ def time_main(names: list[str]):
     print(json.dumps({"sf_dir": SF_DIR, "cpus": CPUS, "queries": out}))
 
 
+def isolate_extract_main():
+    """Stage-by-stage cost of the flagship extract at $SPARK_GRAFT_SF_DIR's
+    synthetic docs table: wide scan, narrow parse, selection phases, output
+    join, document regroup — so the per-rep wall decomposes into the
+    operator that actually owns it."""
+    from pyspark.sql import functions as F
+
+    import bench as B
+    import __spark_entry__ as entry
+    from osm_cut_spark.functions.geometry import prepare_polygon
+    from osm_cut_spark.operators import ingest
+    from osm_cut_spark.operators.extract import (
+        auto_cover, extract, finish_extract, make_point_selector, select_ways,
+    )
+    from osm_cut_spark.session import get_session
+
+    spark = get_session(app_name="osm_cut_isolate_extract", cpus=CPUS)
+    sf = B.sf_of(SF_DIR)
+    path, n_docs = B.docs_parquet(spark, sf)
+    docs = spark.read.parquet(path)
+    docs.limit(10).count()
+    poly = prepare_polygon([("include", entry.TRIANGLE)])
+    cover = auto_cover(poly)
+    selector = make_point_selector(spark, poly, cover)
+
+    stages = {}
+
+    def timed(name, mk):
+        walls = []
+        for _ in range(REPS + 1):
+            t0 = time.perf_counter()
+            r = mk()
+            if r is not None:
+                noop(r)
+            walls.append(round(time.perf_counter() - t0, 3))
+        stages[name] = {"min_warm": min(walls[1:]), "reps": walls}
+        print(f"{name}: {stages[name]}", file=sys.stderr)
+
+    timed("wide_scan_only", lambda: docs)
+    timed("narrow_parse", lambda: ingest.parse_elements_narrow(docs))
+    timed("explode_elements_wide", lambda: ingest.explode_elements(docs))
+    timed("passthrough_parse", lambda: ingest.parse_passthrough_spans(docs))
+
+    def selection_only():
+        narrow = ingest.parse_elements_narrow(docs).persist()
+        narrow.count()
+        nodes = narrow.filter(F.col("kind") == "node").select(
+            "id", "lon", "lat", "doc_id", "offset")
+        sel = selector(nodes.filter(F.col("id").isNotNull()))
+        noop(sel)
+        narrow.unpersist()
+
+    def ways_sel_only(complete):
+        narrow = ingest.parse_elements_narrow(docs).persist()
+        narrow.count()
+        nodes = narrow.filter(F.col("kind") == "node").select(
+            "id", "lon", "lat", "doc_id", "offset")
+        ways = narrow.filter(F.col("kind") == "way").select(
+            "id", "nds", "doc_id", "offset")
+        sel = selector(nodes.filter(F.col("id").isNotNull())).persist()
+        sel.count()
+        ids = sel.select(F.col("id").alias("node_id")).distinct()
+        noop(select_ways(ways, ids, complete))
+        sel.unpersist(); narrow.unpersist()
+
+    timed("selection_nodes", selection_only)
+    timed("plus_ways_sel_complete", lambda: ways_sel_only(True))
+
+    def full(complete, out, grouped=False):
+        res = extract(spark, docs, poly, complete=complete, cover=cover,
+                      doc_grouped_output=grouped, selector=selector)
+        noop(res.elements() if out == "elements" else res.documents())
+        res.release()
+
+    # selection through relations but output = slim keys only (no wide join):
+    def no_output(complete):
+        res = extract(spark, docs, poly, complete=complete, cover=cover,
+                      selector=selector)
+        noop(res.all_elements.select("doc_id", "offset", "phase"))
+        res.release()
+
+    timed("extract_complete_slimout", lambda: no_output(True))
+    timed("extract_noncomplete_slimout", lambda: no_output(False))
+    timed("extract_complete_full", lambda: full(True, "elements"))
+    timed("extract_noncomplete_full", lambda: full(False, "elements"))
+    timed("extract_documents_out_full", lambda: full(False, "documents"))
+    timed("extract_documents_grouped_full", lambda: full(False, "documents", True))
+    print(json.dumps({"sf_dir": SF_DIR, "cpus": CPUS, "n_docs": n_docs,
+                      "stages": stages}))
+
+
 def isolate_dedup_main():
     """Stage-by-stage cost of the dedup family on the sf documents table."""
     from pyspark.sql import functions as F
@@ -257,5 +348,7 @@ if __name__ == "__main__":
         time_main(sys.argv[sys.argv.index("--time") + 1].split(","))
     elif "--isolate-dedup" in sys.argv:
         isolate_dedup_main()
+    elif "--isolate-extract" in sys.argv:
+        isolate_extract_main()
     else:
         print(__doc__)

@@ -466,12 +466,19 @@ def select_ways(ways: DataFrame, sel_node_ids: DataFrame, complete: bool) -> Dat
     """
     exploded = ways.select(*_WAY_KEY, F.posexplode("nds").alias("pos", "ref"))
     hits = exploded.join(sel_node_ids, exploded.ref == sel_node_ids.node_id, "inner")
+    if complete:
+        # complete mode keeps the FULL nd list, so only MEMBERSHIP matters:
+        # a slim semi-join on the hit keys replaces the round-6
+        # collect_list/sort_array regroup (guide §2.3 "aggregate before you
+        # shuffle" in reverse — don't aggregate a payload nobody reads; the
+        # exchange now carries bare (doc_id, offset) rows, no struct arrays)
+        return ways.join(
+            hits.select(*_WAY_KEY), _WAY_KEY, "left_semi"
+        ).withColumn("kept_nds", F.col("nds"))
     kept = hits.groupBy(*_WAY_KEY).agg(
         F.sort_array(F.collect_list(F.struct("pos", "ref"))).alias("kp")
     )
     out = ways.join(kept, _WAY_KEY, "inner")
-    if complete:
-        return out.withColumn("kept_nds", F.col("nds")).drop("kp")
     return out.withColumn(
         "kept_nds", F.expr("transform(kp, x -> x.ref)")
     ).drop("kp")
@@ -521,7 +528,8 @@ def _enc_key(kind_col, ref_col):
 def _member_hits(
     relations: DataFrame, base_keys: DataFrame, broadcast_keys: bool = False
 ) -> DataFrame:
-    """Relation keys with >=1 member matching base_keys(kind, key_id).
+    """Relations with >=1 member matching base_keys(kind, key_id):
+    (doc_id, offset, rid) — one row per hit relation row.
 
     ``base_keys`` only ever contains node/way kinds (base_key_df), so
     relation-type members are pruned INSIDE the explode — they can never
@@ -532,15 +540,27 @@ def _member_hits(
     enters an exchange at all.  finish_extract sets the hint from the
     measured key count; callers with key sets too large to broadcast leave
     it False and fall back to the shuffle semi-join (AQE-skew-guarded).
+
+    Round 7: the relation ``id`` rides through the explode, so callers
+    read ``rid`` straight off the hit rows — the old shape re-joined the
+    (doc_id, offset) hits against the relation table just to recover the
+    id, one whole extra exchange+join per selection pass.
     """
     mem = (
-        relations.select(*_WAY_KEY, F.explode("members").alias("m"))
+        relations.select(*_WAY_KEY, "id", F.explode("members").alias("m"))
         .filter(F.col("m.type").isin("node", "way"))
-        .select(*_WAY_KEY, _enc_key(F.col("m.type"), F.col("m.ref")).alias("k"))
+        .select(
+            *_WAY_KEY,
+            F.col("id").alias("rid"),
+            _enc_key(F.col("m.type"), F.col("m.ref")).alias("k"),
+        )
     )
     keys = base_keys.select(_enc_key(F.col("kind"), F.col("key_id")).alias("k"))
     keys = F.broadcast(keys) if broadcast_keys else keys
-    return mem.join(keys, "k", "left_semi").select(*_WAY_KEY).distinct()
+    # NOT distinct: one row per matching member — each caller dedups on
+    # exactly the key set it needs (rid alone, or the full triple), so the
+    # selection pays ONE exchange instead of two
+    return mem.join(keys, "k", "left_semi").select(*_WAY_KEY, "rid")
 
 
 def base_key_df(
@@ -550,12 +570,13 @@ def base_key_df(
 ) -> DataFrame:
     """(kind, key_id) union of selected nodes (+completion nodes) and ways.
 
-    No distinct: each input is already distinct and the branches are
-    mutually disjoint by construction (node vs way kind tags; completion
-    ids are anti-joined against selected ids) — a distinct here was a
-    full-width shuffle of the entire key set for nothing (~13 s at 2M
-    docs), and every consumer is a semi-join or a dedup-after aggregate,
-    so duplicates could not change results anyway.
+    No distinct: the branches are mutually disjoint by construction (node
+    vs way kind tags; completion ids are anti-joined against selected ids)
+    — a distinct here was a full-width shuffle of the entire key set for
+    nothing (~13 s at 2M docs), and every consumer is a semi-join or a
+    dedup-after aggregate, so duplicates (including cross-document
+    duplicate way/completion ids, which round 7 stopped pre-deduping)
+    cannot change results.
     """
     parts = [sel_node_ids.select(F.lit("node").alias("kind"), F.col("node_id").alias("key_id"))]
     if comp_node_ids is not None:
@@ -591,33 +612,39 @@ def relation_closure_complete(
         caches = []
     seeds = (
         _member_hits(relations, base_keys, broadcast_keys)
-        .join(relations, _WAY_KEY)
-        .select(F.col("id").alias("rid"))
+        .select("rid")
         .distinct()
         .persist()
     )
     caches.append(seeds)
-    non_seed = relations.join(seeds, relations.id == seeds.rid, "left_anti")
+    # Edges over ALL relations, not the round-6 non-seed anti-join: an edge
+    # whose parent is a seed is a closure NO-OP (the parent is already
+    # selected, and the final union is distinct), so the superset yields a
+    # provably identical closure — and the edge scan no longer depends on
+    # the seeds subtree at all (no anti-join build, and the driver probe
+    # below runs before any selection work).
     edges = (
-        non_seed.select(F.col("id").alias("parent"), F.explode("members").alias("m"))
+        relations.select(F.col("id").alias("parent"), F.explode("members").alias("m"))
         .filter(F.col("m.type") == "relation")
         .select(F.col("m.ref").alias("child"), "parent")
-        .persist()
     )
-    n_edges = edges.count()
+    # ONE bounded collect replaces the round-6 count()-then-collect() pair:
+    # the limit keeps the driver pull capped at driver_max_edges + 1 rows
+    # either way, and on the (overwhelmingly common) small-graph path the
+    # rows are already in hand — one fewer blocking job per extract
+    probe = edges.limit(driver_max_edges + 1).collect()
 
-    if n_edges == 0:
-        edges.unpersist()
+    if not probe:
         return seeds, seeds
 
-    if n_edges <= driver_max_edges:
+    if len(probe) <= driver_max_edges:
         # driver-side worklist (osm_process_complete.erl:237-251 shape).
         # Only the edge list and the seeds that actually touch it are
         # collected; the result is seeds UNION the newly-found ancestors
         # (shipped back via Arrow), so driver traffic is O(edges), not
         # O(selected relations).
         links: dict[int, list[int]] = {}
-        for r in edges.collect():
+        for r in probe:
             links.setdefault(r.child, []).append(r.parent)
         child_ids = list(links.keys())
         cdf = spark.createDataFrame(
@@ -634,7 +661,6 @@ def relation_closure_complete(
                     seen_set.add(p)
                     extra.add(p)
                     work.append(p)
-        edges.unpersist()
         if not extra:
             return seeds, seeds
         extra_df = spark.createDataFrame(
@@ -645,6 +671,7 @@ def relation_closure_complete(
     # DF fixpoint (giant link graphs): `seen` stays a FLAT union of the
     # persisted per-level frontiers — no superseded re-persists, lineage one
     # union wide; localCheckpoint every 8 levels truncates deep unions.
+    edges = edges.persist()
     seen = seeds
     frontier = seeds
     levels: list[DataFrame] = []
@@ -691,9 +718,9 @@ def select_relations_non_complete(
     spark = relations.sparkSession
     if caches is None:
         caches = []
-    direct = _member_hits(relations, base_keys, broadcast_keys).join(
-        relations, _WAY_KEY
-    ).select("doc_id", "offset", F.col("id").alias("rid"))
+    direct = _member_hits(relations, base_keys, broadcast_keys).select(
+        "doc_id", "offset", "rid"
+    )
     # relation->relation edges with the parent's stream order
     redges = (
         relations.select(
@@ -704,20 +731,20 @@ def select_relations_non_complete(
         )
         .filter(F.col("m.type") == "relation")
         .select("parent", "p_doc", "p_off", F.col("m.ref").alias("child"))
-        .persist()
     )
-    n_edges = redges.count()
-    if n_edges == 0:
-        redges.unpersist()
+    # one bounded collect instead of count()-then-collect() — see
+    # relation_closure_complete
+    probe = redges.limit(driver_max_edges + 1).collect()
+    if not probe:
         return direct.distinct()
 
-    if n_edges <= driver_max_edges:
+    if len(probe) <= driver_max_edges:
         # driver-side ordered worklist: a parent is selected when a child
         # relation was selected at an earlier (doc_id, offset).  Collect is
         # limited to the edge graph's neighborhood; extra selections are
         # shipped back via Arrow and unioned with the direct hits.
         by_child: dict[int, list] = {}
-        for r in redges.collect():
+        for r in probe:
             by_child.setdefault(r.child, []).append((r.p_doc, r.p_off, r.parent))
         child_ids = list(by_child.keys())
         cdf = spark.createDataFrame(
@@ -740,7 +767,6 @@ def select_relations_non_complete(
                     seen_set.add(key)
                     extra.add(key)
                     work.append(key)
-        redges.unpersist()
         if not extra:
             return direct
         extra_df = spark.createDataFrame(
@@ -748,6 +774,7 @@ def select_relations_non_complete(
         )
         return direct.unionByName(extra_df).distinct()
 
+    redges = redges.persist()
     seen = direct.distinct().persist()
     caches.append(seen)
     frontier = seen
@@ -837,14 +864,19 @@ def relation_outputs(
             .join(_maybe_bcast(all_keys), "k", "left_semi")
         )
         mem = mem.filter((F.col("seed").isNotNull()) | (F.col("m.type") == "relation"))
-        kept_members = mem.groupBy("doc_id", "offset").agg(
+        # the groupBy alone covers EVERY selected relation, so the round-6
+        # join-back to rel_rows (+ empty-array coalesce) was a whole join
+        # for nothing: a seed has >=1 node/way member in base_keys (its
+        # selection criterion — in all_keys, kept by the seed filter arm),
+        # and a closure-only relation was added exactly because a child
+        # RELATION member is selected (that child's rid key is in all_keys,
+        # kept by the type=relation arm) — the same row-coverage argument
+        # the non-complete branch below has always relied on
+        return mem.groupBy("doc_id", "offset").agg(
             F.collect_set(F.struct(F.col("m.type").alias("type"), F.col("m.ref").alias("ref"))).alias(
                 "kept_m"
             )
         )
-        return rel_rows.select("doc_id", "offset").join(
-            kept_members, _WAY_KEY, "left"
-        ).withColumn("kept_m", F.coalesce(F.col("kept_m"), F.expr("array()")))
 
     sel_rel = select_relations_non_complete(
         relations, keys, caches=caches, broadcast_keys=broadcast_keys
@@ -907,8 +939,9 @@ class ExtractResult:
     all_elements: DataFrame
     passthrough: DataFrame  # (doc_id, kind, text, media_ref, offset)
     caches: list = field(default_factory=list)
-    # doc-grouped mode precomputes output documents as narrow per-row HOFs
-    # (no regroup shuffle); element mode leaves this None and documents()
+    # finish_extract precomputes output documents as narrow per-row HOFs
+    # over the selmap join (no regroup shuffle) in EVERY mode; a manually
+    # constructed result may leave this None, in which case documents()
     # falls back to the union + groupBy path
     documents_grouped: DataFrame | None = None
 
@@ -993,9 +1026,11 @@ def extract(
 ) -> ExtractResult:
     """Full polygon-cut extraction over an interleaved-docs DataFrame.
 
-    ``doc_grouped_output=True`` joins selections back per DOCUMENT instead
-    of per element — pair with a doc_id-bucketed docs table to keep the
-    wide span data entirely shuffle-free.
+    The output join is per DOCUMENT in every mode (round 7): selections
+    are grouped into a per-doc offset map and joined on doc_id — pair with
+    a doc_id-bucketed docs table to keep the wide span data entirely
+    shuffle-free.  ``doc_grouped_output`` is retained for API
+    compatibility; both values produce the identical plan.
 
     ``selector``: a prebuilt ``make_point_selector(spark, poly, ...)``
     callable.  Repeated cuts of the SAME polygon (benchmark reps,
@@ -1016,8 +1051,10 @@ def extract(
     # eager fill: several AQE shuffle-stage jobs consume this cache
     # CONCURRENTLY at action time; if the cache is still cold they all
     # recompute the parse (measured: 3-4x duplicated work). One count()
-    # materializes the cached batches first.
-    narrow.count()
+    # materializes the cached batches first; the returned element count
+    # also lets finish_extract bound the selected-key set without a
+    # second counting barrier (n_keys <= 2 * n_elements).
+    n_elements = narrow.count()
     nodes = narrow.filter(F.col("kind") == "node").select("id", "lon", "lat", "doc_id", "offset")
     ways = narrow.filter(F.col("kind") == "way").select("id", "nds", "doc_id", "offset")
     relations = narrow.filter(F.col("kind") == "relation").select(
@@ -1037,6 +1074,7 @@ def extract(
     return finish_extract(
         spark, docs, nodes, relations, nodes_sel, ways_sel, complete, assume_sorted,
         caches=caches, doc_grouped_output=doc_grouped_output,
+        n_elements_hint=n_elements,
     )
 
 
@@ -1052,6 +1090,7 @@ def finish_extract(
     caches: list | None = None,
     doc_grouped_output: bool = False,
     broadcast_max_keys: int = 50_000_000,
+    n_elements_hint: int | None = None,
 ) -> ExtractResult:
     """Completion + relation selection + output assembly over precomputed
     (narrow) node/way selections (also the resume path of
@@ -1070,33 +1109,48 @@ def finish_extract(
         caches = []
     # persist the SMALL selected-key sets — each gates several joins
     nodes_sel = nodes_sel.persist()
-    # eager fill BEFORE the fan-out below: keys.count() launches the
-    # distinct / way-join / completion stages concurrently, and a cold
-    # nodes_sel cache would make each of them recompute the whole routed
-    # selection subtree (union + cover joins + boundary UDF) — the same
-    # duplicated-work trap the narrow cache's count() documents
-    nodes_sel.count()
     sel_node_ids = nodes_sel.select(F.col("id").alias("node_id")).distinct().persist()
+    # eager fill BEFORE the fan-out below: the concurrent AQE stages of a
+    # later action would each recompute a cold nodes_sel cache (the whole
+    # routed selection subtree — union + cover joins + boundary UDF), the
+    # same duplicated-work trap the narrow cache's count() documents.
+    # Counting sel_node_ids (not nodes_sel) fills BOTH caches in the one
+    # barrier: the distinct forces every nodes_sel partition first.
+    sel_node_ids.count()
     ways_sel = ways_sel.persist()
-    way_ids = ways_sel.select(F.col("id").alias("way_id")).distinct().persist()
-    caches += [nodes_sel, sel_node_ids, ways_sel, way_ids]
+    # NO distinct on way/completion ids (round 7): both id sets are unique
+    # per element row already (dups only from the same id in two documents),
+    # and every consumer tolerates duplicates — the member joins are
+    # semi-joins (complete) or feed a collect_set (non-complete), and the
+    # broadcast-cap count only errs conservative.  Each distinct was a
+    # whole exchange+dedup pass inside the keys barrier.
+    way_ids = ways_sel.select(F.col("id").alias("way_id"))
+    caches += [nodes_sel, sel_node_ids, ways_sel]
 
     comp: DataFrame | None = None
     comp_ids: DataFrame | None = None
     if complete:
         comp = completion_nodes(ways_sel, nodes, sel_node_ids).persist()
-        comp_ids = comp.select(F.col("id").alias("node_id")).distinct().persist()
-        caches += [comp, comp_ids]
+        comp_ids = comp.select(F.col("id").alias("node_id"))
+        caches += [comp]
 
     keys = base_key_df(sel_node_ids, comp_ids, way_ids).persist()
     caches.append(keys)
     # the selected-key set gates every relation semi-join; when it fits a
     # broadcast (the overwhelmingly common case — selections are a fraction
     # of the input), hint it so the exploded member streams (the big sides)
-    # never shuffle.  The count is one scan of already-persisted parts and
-    # eagerly fills the cache for the concurrent consumers below.
-    n_keys = keys.count()
-    bcast = n_keys <= broadcast_key_cap(spark, broadcast_max_keys)
+    # never shuffle.  Round 7: when the caller supplies the input element
+    # count, the broadcast decision uses the bound
+    # n_keys <= |sel nodes| + |completion nodes| + |ways| <= 2 * n_elements
+    # instead of a keys.count() — one whole blocking job (and its
+    # sequential ways/completion stage chain) removed from every extract
+    # whose input is safely under the cap; oversized or unhinted inputs
+    # keep the exact count + eager-fill barrier.
+    cap = broadcast_key_cap(spark, broadcast_max_keys)
+    if n_elements_hint is not None and 2 * n_elements_hint <= cap:
+        bcast = True
+    else:
+        bcast = keys.count() <= cap
 
     rel_out = relation_outputs(
         relations, keys, complete, caches=caches, broadcast_keys=bcast
@@ -1140,48 +1194,41 @@ def finish_extract(
         )
     )
 
-    if doc_grouped_output:
-        # 100 TB path: group the slim selection keys per document and join
-        # the docs table ONCE on doc_id — with a doc_id-bucketed (Iceberg-
-        # layout) docs table the wide side needs NO exchange at all; only
-        # the slim key map shuffles.  The element explode + child filter
-        # run as narrow JVM ops after the join.
-        # array_distinct collapses byte-identical duplicate selections (a
-        # caller feeding finish_extract non-distinct frames) inside the one
-        # groupBy — no extra exchange; CONFLICTING duplicates (same offset,
-        # different phase/kept payload) still fail map_from_entries, which
-        # is correct: the selection would be ambiguous.
-        sel_doc = sel_keys.groupBy("doc_id").agg(
-            F.map_from_entries(
-                F.array_distinct(
-                    F.collect_list(
-                        F.struct(F.col("offset"), F.struct("phase", "kept_nds", "kept_m"))
-                    )
+    # Output join (BOTH modes, round-7 shape): group the slim selection
+    # keys per document and join the docs table ONCE on doc_id — with a
+    # doc_id-bucketed (Iceberg-layout) docs table the wide side needs NO
+    # exchange at all; only the slim key map shuffles.  Two wins over the
+    # old per-element join (guide §1.2 "don't compute things you throw
+    # away"):
+    #   * documents with no selected element drop in the doc_id join
+    #     BEFORE any span parsing happens (the per-element join exploded
+    #     and child-filtered EVERY document first, then threw the
+    #     unselected rows away at the join);
+    #   * the selective explode (_SEL_ELEMENTS) assembles child_spans only
+    #     for SELECTED parents — inside a kept document the per-parent
+    #     span-window scan skips the (majority) unselected elements.
+    # array_distinct collapses byte-identical duplicate selections (a
+    # caller feeding finish_extract non-distinct frames) inside the one
+    # groupBy — no extra exchange; CONFLICTING duplicates (same offset,
+    # different phase/kept payload) still fail map_from_entries, which
+    # is correct: the selection would be ambiguous.
+    sel_doc = sel_keys.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_distinct(
+                F.collect_list(
+                    F.struct(F.col("offset"), F.struct("phase", "kept_nds", "kept_m"))
                 )
-            ).alias("_selmap")
-        )
-        joined = docs.join(sel_doc, "doc_id")
-        el_raw = ingest.explode_elements(joined, assume_sorted, extra_cols=("_selmap",))
-        matched = (
-            el_raw.withColumn("_sel", F.element_at(F.col("_selmap"), F.col("offset")))
-            .filter(F.col("_sel").isNotNull())
-            .select(
-                "doc_id",
-                "kind",
-                "attrs_json",
-                "offset",
-                "child_spans",
-                F.col("_sel.phase").alias("phase"),
-                F.col("_sel.kept_nds").alias("kept_nds"),
-                F.col("_sel.kept_m").alias("kept_m"),
             )
-        )
-        out = _output_projection(matched)
-        docs_grouped = _documents_grouped(ingest._sorted_spans(joined, assume_sorted))
-    else:
-        el_raw = ingest.explode_elements(docs, assume_sorted)
-        out = _output_projection(el_raw.join(sel_keys, _WAY_KEY, "inner"))
-        docs_grouped = None
+        ).alias("_selmap")
+    )
+    joined = docs.join(sel_doc, "doc_id")
+    out = _output_projection(_selected_elements(joined, assume_sorted))
+    # the grouped document output is a lazy DataFrame over the same joined
+    # frame — defining it unconditionally costs nothing and routes
+    # documents() through the no-regroup HOF path in every mode (span-exact
+    # to the old union+groupBy fallback, pinned by
+    # test_doc_grouped_output_equals_element_join)
+    docs_grouped = _documents_grouped(ingest._sorted_spans(joined, assume_sorted))
 
     passthrough = ingest.parse_passthrough_spans(docs, assume_sorted)
     return ExtractResult(
@@ -1189,6 +1236,54 @@ def finish_extract(
         passthrough=passthrough,
         caches=caches,
         documents_grouped=docs_grouped,
+    )
+
+
+# Selective element explode for the output join: parents are paired with
+# their selection-map entry FIRST, unselected parents are dropped, and the
+# child-span window scan runs ONLY for the selected survivors.  The `nxt`
+# bound is the next parent's offset over the FULL parent array (computed
+# before the selection filter), so child windows are identical to
+# ingest._ELEMENTS; 2147483647 (no upper bound) stands in for "last
+# parent" — span offsets are int32.
+_SEL_ELEMENTS = """
+transform(
+  filter(
+    transform(parents, (p, i) -> struct(
+        p AS p,
+        element_at(_selmap, p.offset) AS sel,
+        IF(i = size(parents) - 1, 2147483647, parents[i + 1].offset) AS nxt)),
+    q -> q.sel IS NOT NULL),
+  q -> struct(
+    q.p.kind AS kind,
+    q.p.text AS attrs_json,
+    q.p.offset AS offset,
+    filter(spans, c -> c.offset > q.p.offset
+                   AND c.offset < q.nxt
+                   AND c.kind IN ('nd','member','tag')) AS child_spans,
+    q.sel.phase AS phase,
+    q.sel.kept_nds AS kept_nds,
+    q.sel.kept_m AS kept_m))
+"""
+
+
+def _selected_elements(joined: DataFrame, assume_sorted: bool) -> DataFrame:
+    """(docs ⋈ _selmap) rows -> one row per SELECTED element with raw attrs
+    + children + its selection payload (phase, kept_nds, kept_m)."""
+    return (
+        ingest._sorted_spans(joined, assume_sorted)
+        .withColumn("parents", F.expr(ingest._PARENTS))
+        .select("doc_id", F.explode(F.expr(_SEL_ELEMENTS)).alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.kind").alias("kind"),
+            F.col("e.attrs_json").alias("attrs_json"),
+            F.col("e.offset").alias("offset"),
+            F.col("e.child_spans").alias("child_spans"),
+            F.col("e.phase").alias("phase"),
+            F.col("e.kept_nds").alias("kept_nds"),
+            F.col("e.kept_m").alias("kept_m"),
+        )
     )
 
 

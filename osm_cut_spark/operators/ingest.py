@@ -42,6 +42,32 @@ transform(parents, (p, i) -> struct(
 
 _META_COLS = ["version", "timestamp", "uid", "user", "changeset"]
 
+# narrow-parse variant of _ELEMENTS: the child-span window scan (a filter
+# over the whole span array per parent) runs ONLY for way/relation parents
+# — CASE branches evaluate lazily, so node parents (the large majority of
+# elements) skip the O(spans) pass entirely, and only the child TEXT is
+# kept (the narrow frame never re-emits spans).
+_NARROW_ELEMENTS = """
+transform(parents, (p, i) -> struct(
+    p.kind AS kind,
+    p.text AS attrs_json,
+    p.offset AS offset,
+    CASE WHEN p.kind = 'way' THEN
+      transform(
+        filter(spans, c -> c.offset > p.offset
+                       AND (i = size(parents) - 1 OR c.offset < parents[i + 1].offset)
+                       AND c.kind = 'nd'),
+        c -> c.text)
+    END AS nd_texts,
+    CASE WHEN p.kind = 'relation' THEN
+      transform(
+        filter(spans, c -> c.offset > p.offset
+                       AND (i = size(parents) - 1 OR c.offset < parents[i + 1].offset)
+                       AND c.kind = 'member'),
+        c -> c.text)
+    END AS member_texts))
+"""
+
 
 def _sorted_spans(docs: DataFrame, assume_sorted: bool) -> DataFrame:
     if assume_sorted:
@@ -159,30 +185,27 @@ def parse_elements_narrow(docs: DataFrame, assume_sorted: bool = True) -> DataFr
             F.col("spans.offset").alias("offset"),
         ).alias("spans"),
     )
-    el = explode_elements(slim_docs, assume_sorted)
+    el = (
+        _sorted_spans(slim_docs, assume_sorted)
+        .withColumn("parents", F.expr(_PARENTS))
+        .select("doc_id", F.explode(F.expr(_NARROW_ELEMENTS)).alias("e"))
+    )
     # one from_json for every kind: ways/relations simply get null lon/lat
-    a = F.from_json("attrs_json", "id BIGINT, lon DOUBLE, lat DOUBLE")
+    a = F.from_json(F.col("e.attrs_json"), "id BIGINT, lon DOUBLE, lat DOUBLE")
     return el.select(
-        "kind",
+        F.col("e.kind").alias("kind"),
         a.getField("id").alias("id"),
         a.getField("lon").alias("lon"),
         a.getField("lat").alias("lat"),
-        F.when(
-            F.col("kind") == "way",
-            F.expr(
-                "transform(filter(child_spans, c -> c.kind = 'nd'),"
-                " c -> from_json(c.text, 'ref BIGINT').ref)"
-            ),
-        ).alias("nds"),
-        F.when(
-            F.col("kind") == "relation",
-            F.expr(
-                "transform(filter(child_spans, c -> c.kind = 'member'),"
-                " c -> from_json(c.text, 'type STRING, ref BIGINT, role STRING'))"
-            ),
+        F.expr("transform(e.nd_texts, t -> from_json(t, 'ref BIGINT').ref)").alias(
+            "nds"
+        ),
+        F.expr(
+            "transform(e.member_texts,"
+            " t -> from_json(t, 'type STRING, ref BIGINT, role STRING'))"
         ).alias("members"),
         "doc_id",
-        "offset",
+        F.col("e.offset").alias("offset"),
     )
 
 

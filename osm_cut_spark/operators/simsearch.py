@@ -202,7 +202,13 @@ def cosine_dup_pairs(
     else:
         lsh = make_lsh_udf(spark, dim, n_planes, n_bands, seed)
         keyed = embeddings.select(F.col(id_col).alias("_id"), lsh(F.col(vec_col)).alias("_keys"))
-    banded = keyed.select("_id", F.explode("_keys").alias("key"))
+    # explode_outer, NOT explode: the keys array is never null/empty (the
+    # UDF and the literal fold both emit exactly n_bands keys), so the two
+    # are row-identical — but plain explode infers a ``size(_keys) > 0``
+    # filter that lands BELOW the UDF projection and evaluates the
+    # ArrowEvalPython matmul twice per row (guide §4.4; seen in the r07
+    # before-plan as duplicated ArrowEvalPython nodes)
+    banded = keyed.select("_id", F.explode_outer("_keys").alias("key"))
     buckets = banded.groupBy("key").agg(F.collect_list("_id").alias("ids"))
     if metrics is not None:
         metrics["dropped_buckets"] = buckets.filter(
@@ -281,8 +287,11 @@ def lsh_knn_join(
             keys = lsh_bucket_cols(planes, n_bands, F.col(vec_col))
         else:
             keys = make_lsh_udf(spark, dim, n_planes, n_bands, seed)(F.col(vec_col))
+        # explode_outer: row-identical (keys is always n_bands long) and
+        # avoids the inferred size()>0 filter that re-evaluates the lsh
+        # UDF below its own projection (guide §4.4 duplication)
         return df.select(F.col(src_id).alias(out_id), keys.alias("_keys")).select(
-            out_id, F.explode("_keys").alias("bucket")
+            out_id, F.explode_outer("_keys").alias("bucket")
         )
 
     cand = (
@@ -430,10 +439,12 @@ def ivf_knn_join(
         top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(top.astype(np.int32)))
 
+    # stage the probe-list array, then explode_outer (row-identical: the
+    # UDF always returns n_probe lists) so the inferred size()>0 filter
+    # cannot duplicate the ArrowEvalPython centroid matmul (guide §4.4)
     qp = queries.select(
-        F.col(q_id_col).alias("_qid"),
-        F.explode(probe_lists(F.col(vec_col))).alias("_list"),
-    )
+        F.col(q_id_col).alias("_qid"), probe_lists(F.col(vec_col)).alias("_pl")
+    ).select("_qid", F.explode_outer("_pl").alias("_list"))
     cand = (
         qp.join(assigned.select(F.col(id_col).alias("_did"), "_list"), "_list")
         .select("_qid", "_did")

@@ -365,12 +365,7 @@ def _relation_full_refresh(
     seed relation as closure-only and silently drop its node/way members.
     """
     rels_all = rels_all_tbl.read(spark)
-    seeds_full = (
-        X._member_hits(rels_all, keys, bcast)
-        .join(rels_all, ["doc_id", "offset"])
-        .select(F.col("id").alias("rid"))
-        .distinct()
-    )
+    seeds_full = X._member_hits(rels_all, keys, bcast).select("rid").distinct()
     rel_seeds_tbl.overwrite(seeds_full, properties={"epoch": epoch_id})
     rel_out = X.relation_outputs(rels_all, keys, True, broadcast_keys=bcast)
     refreshed = rel_out.join(
@@ -481,11 +476,7 @@ def _maintain_relations_incremental(
 
     # 4. seed candidates: batch relations vs FULL keys + old relations hit
     # by DELTA keys via the bucket-pruned index probe — ONE collect
-    seeds_batch = (
-        X._member_hits(rels_b, keys, bcast)
-        .join(rels_b, ["doc_id", "offset"])
-        .select(F.col("id").alias("rid"))
-    )
+    seeds_batch = X._member_hits(rels_b, keys, bcast).select("rid")
     idx = member_idx_tbl.read(spark).filter(F.col("bkt").isin(delta_bkts))
     hits_old = idx.join(F.broadcast(delta_df), "k", "left_semi").select("rid")
     cand_rows = seeds_batch.unionByName(hits_old).distinct().take(
