@@ -47,11 +47,23 @@ def asof_join(
     """Left as-of join: every left row, plus ``value_cols`` of the latest
     matching right row (NULLs when no right row precedes it).
 
-    ``tiebreak_col`` (a non-null right column, e.g. an event id) makes
-    duplicate (key, time) right rows resolve deterministically: the
-    largest tiebreak wins.  Rows with NULL ``time_col`` are excluded on
-    both sides (their ordering is engine-specific).
+    ``tiebreak_col`` (a non-null INTEGRAL right column, e.g. an event id)
+    makes duplicate (key, time) right rows resolve deterministically: the
+    largest tiebreak wins.  Non-integral tiebreaks are rejected up front —
+    the old silent cast-to-long turned e.g. a string id into NULL for
+    every right row, making the pick among duplicate (key, time) rows
+    nondeterministic instead of failing fast (round-6 ADVICE).  Rows with
+    NULL ``time_col`` are excluded on both sides (their ordering is
+    engine-specific).
     """
+    tb_type = dict(right.dtypes).get(tiebreak_col)
+    if tb_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"tiebreak_col {tiebreak_col!r} must be an integral column "
+            f"(got {tb_type}); hash non-numeric tiebreaks to a long first "
+            "(e.g. xxhash64) to keep the duplicate-(key, time) pick "
+            "deterministic"
+        )
     lcols = left.columns
     # side priority at equal time: inclusive -> right (0) visible to left
     # (1); strict -> right sorts after left (2) and is not visible

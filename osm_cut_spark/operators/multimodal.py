@@ -162,10 +162,16 @@ def frame_sample(media: DataFrame, every_n: int = 10, real: bool = False) -> Dat
                         capture_output=True,
                         check=False,
                     )
-                    try:
-                        n = int(out.stdout.decode().strip() or 0)
-                    except ValueError:
-                        n = 0
+                    # surface decode failures instead of fabricating a
+                    # frame_idx=0 row from empty output (round-6 ADVICE):
+                    # corrupt media must be observable, not silently counted
+                    if out.returncode != 0 or not out.stdout.strip():
+                        raise RuntimeError(
+                            f"ffprobe failed for {r.media_ref!r} "
+                            f"(rc={out.returncode}): "
+                            f"{out.stderr.decode(errors='replace')[:500]}"
+                        )
+                    n = int(out.stdout.decode().strip())
                     for idx in range(0, max(n, 1), every_n):
                         rows.append((r.media_ref, r.mime, idx))
                 yield pd.DataFrame(rows, columns=["media_ref", "mime", "frame_idx"])
@@ -248,6 +254,14 @@ def audio_features(
             capture_output=True,
             check=False,
         )
+        # a corrupt/undecodable payload must fail loudly, not flow on as
+        # zero-length PCM (rms over an empty array -> NaN/warning,
+        # silently) — round-6 ADVICE
+        if out.returncode != 0 or not out.stdout:
+            raise RuntimeError(
+                f"ffmpeg decode failed (rc={out.returncode}): "
+                f"{out.stderr.decode(errors='replace')[:500]}"
+            )
         return np.frombuffer(out.stdout, dtype=np.int16).astype(np.float64) / 32768.0
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
