@@ -340,6 +340,123 @@ def isolate_dedup_main():
     print(json.dumps({"sf_dir": SF_DIR, "cpus": CPUS, "stages": stages}))
 
 
+TEMPORAL_EVENTS = int(os.environ.get("SPARK_GRAFT_TEMPORAL_EVENTS", "2000000"))
+
+
+def _temporal_events_path() -> str:
+    """Generate-once a large synthetic event table for the temporal-family
+    scaling campaign: TEMPORAL_EVENTS rows over ~EVENTS/100 keys (so window
+    partitions hold ~100 rows), JVM-generated, deterministic."""
+    from pathlib import Path as P
+
+    import bench as B
+
+    path = B.CACHE_ROOT / f"temporal_events_n{TEMPORAL_EVENTS}.parquet"
+    if not path.exists():
+        from pyspark.sql import functions as F
+
+        from osm_cut_spark.session import get_session
+
+        spark = get_session(app_name="osm_cut_temporal_gen", cpus=CPUS)
+        n_keys = max(1000, TEMPORAL_EVENTS // 100)
+        (
+            spark.range(TEMPORAL_EVENTS)
+            .repartition(64)
+            .select(
+                F.col("id").alias("event_id"),
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_keys)).alias("user_id"),
+                F.timestamp_seconds(
+                    F.lit(1_600_000_000) + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(86_400 * 30))
+                ).alias("ts"),
+                (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10_000)) / 100.0).alias("amount"),
+            )
+            .write.mode("overwrite")
+            .parquet(str(path))
+        )
+    return str(path)
+
+
+def temporal_worker_main(events_path: str):
+    """Subprocess worker: min-of-N warm reps of asof_join + lookback_agg on
+    the big event table (the window-sort shuffle profile — one hash
+    exchange + in-partition sort per query, no broadcast side)."""
+    from pyspark.sql import functions as F
+
+    from osm_cut_spark.operators.asof import asof_join, lookback_agg
+    from osm_cut_spark.session import get_session
+
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    spark = get_session(app_name="osm_cut_temporal_scaling", cpus=CPUS)
+    ev = spark.read.parquet(events_path)
+    # right side = every 10th event as a "state update" stream
+    st = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id", "ts", F.col("amount").alias("state_val"), "event_id"
+    )
+    ev.limit(10).count()
+
+    jobs = {
+        "asof_join": lambda: noop(
+            asof_join(ev, st, "user_id", "ts", ["state_val", "event_id"], "event_id")
+        ),
+        "lookback_agg": lambda: noop(
+            lookback_agg(ev, "user_id", "ts", "amount", window_sec=3600)
+        ),
+    }
+    out = {}
+    for name, fn in jobs.items():
+        times = []
+        for _ in range(reps + 1):
+            t0 = time.perf_counter()
+            fn()
+            times.append(round(time.perf_counter() - t0, 3))
+        out[name] = times
+    print(json.dumps({"cpus": CPUS, "n_events": TEMPORAL_EVENTS, "reps_sec": out}))
+
+
+def temporal_scaling_main():
+    """Temporal-family scaling campaign (round-6 VERDICT #7): asof_join +
+    lookback_agg at two parallelism levels in fresh JVMs on the SAME cached
+    events — the window-sort shuffle profile, distinct from both the
+    broadcast-heavy flagship and the banded dedup family."""
+    import subprocess
+
+    cores = [
+        int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CORES", "8,32").split(",")
+    ]
+    path = _temporal_events_path()
+    out = {}
+    for cpus in cores:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, __file__, "--temporal-worker", path],
+            env=env, capture_output=True, text=True, timeout=7200,
+        )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"temporal worker at {cpus} cores produced no JSON")
+        out[cpus] = json.loads(lines[-1])
+    lo, hi = cores[0], cores[-1]
+    effs, walls, reps_all = {}, {}, {}
+    for q in out[lo]["reps_sec"]:
+        t_lo = min(out[lo]["reps_sec"][q][1:])
+        t_hi = min(out[hi]["reps_sec"][q][1:])
+        effs[q] = round((t_lo / t_hi) / (hi / lo), 3)
+        walls[f"{q}_cores{lo}_sec"] = t_lo
+        walls[f"{q}_cores{hi}_sec"] = t_hi
+        reps_all[q] = {str(c): out[c]["reps_sec"][q] for c in cores}
+    print(json.dumps({
+        "metric": f"temporal_scaling_efficiency_{lo}_to_{hi}_cores",
+        "value": effs.get("asof_join"),
+        "unit": "ratio",
+        "queries": walls,
+        "efficiency": effs,
+        "reps": reps_all,
+        "n_events": TEMPORAL_EVENTS,
+    }))
+
+
 if __name__ == "__main__":
     if "--plans" in sys.argv:
         i = sys.argv.index("--plans")
@@ -350,5 +467,9 @@ if __name__ == "__main__":
         isolate_dedup_main()
     elif "--isolate-extract" in sys.argv:
         isolate_extract_main()
+    elif "--temporal-scaling" in sys.argv:
+        temporal_scaling_main()
+    elif "--temporal-worker" in sys.argv:
+        temporal_worker_main(sys.argv[sys.argv.index("--temporal-worker") + 1])
     else:
         print(__doc__)
