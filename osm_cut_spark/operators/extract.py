@@ -587,6 +587,71 @@ def base_key_df(
     return reduce(DataFrame.unionByName, parts)
 
 
+def _closure_edges(relations: DataFrame) -> DataFrame:
+    """child->parent relation links over ALL relations (complete mode).
+
+    Not the round-6 non-seed anti-join: an edge whose parent is a seed is
+    a closure NO-OP (the parent is already selected, and the final union
+    is distinct), so the superset yields a provably identical closure —
+    and the edge scan depends only on the relation table, which lets
+    callers probe it concurrently with the selection fill.
+    """
+    return (
+        relations.select(F.col("id").alias("parent"), F.explode("members").alias("m"))
+        .filter(F.col("m.type") == "relation")
+        .select(F.col("m.ref").alias("child"), "parent")
+    )
+
+
+def _stream_order_edges(relations: DataFrame) -> DataFrame:
+    """relation->relation edges with the parent's stream order
+    (non-complete mode)."""
+    return (
+        relations.select(
+            F.col("id").alias("parent"),
+            F.col("doc_id").alias("p_doc"),
+            F.col("offset").alias("p_off"),
+            F.explode("members").alias("m"),
+        )
+        .filter(F.col("m.type") == "relation")
+        .select("parent", "p_doc", "p_off", F.col("m.ref").alias("child"))
+    )
+
+
+def start_edge_probe(relations: DataFrame, complete: bool,
+                     driver_max_edges: int = 2_000_000):
+    """Kick the closure's bounded edge collect off on a DRIVER THREAD so it
+    overlaps the selection-fill jobs (guide §2.6 — overlap independent
+    jobs: the edge scan needs only the narrow relation frame, which the
+    caller has already cached, while the selection fill runs PIP/joins
+    that never touch relation members).  Returns a zero-arg callable that
+    joins the thread and yields the collected rows (re-raising any
+    failure).  The collected shape is identical to the in-line probe the
+    closure would otherwise run — same edges DataFrame builder, same
+    bound."""
+    import threading
+
+    edges = _closure_edges(relations) if complete else _stream_order_edges(relations)
+    box: dict = {}
+
+    def run():
+        try:
+            box["rows"] = edges.limit(driver_max_edges + 1).collect()
+        except BaseException as e:  # noqa: BLE001 — re-raised at join()
+            box["err"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+    def get():
+        t.join()
+        if "err" in box:
+            raise box["err"]
+        return box["rows"]
+
+    return get
+
+
 def relation_closure_complete(
     relations: DataFrame,
     base_keys: DataFrame,
@@ -594,6 +659,7 @@ def relation_closure_complete(
     driver_max_edges: int = 2_000_000,
     caches: list | None = None,
     broadcast_keys: bool = False,
+    edge_probe=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Complete-mode relation selection.
 
@@ -617,22 +683,16 @@ def relation_closure_complete(
         .persist()
     )
     caches.append(seeds)
-    # Edges over ALL relations, not the round-6 non-seed anti-join: an edge
-    # whose parent is a seed is a closure NO-OP (the parent is already
-    # selected, and the final union is distinct), so the superset yields a
-    # provably identical closure — and the edge scan no longer depends on
-    # the seeds subtree at all (no anti-join build, and the driver probe
-    # below runs before any selection work).
-    edges = (
-        relations.select(F.col("id").alias("parent"), F.explode("members").alias("m"))
-        .filter(F.col("m.type") == "relation")
-        .select(F.col("m.ref").alias("child"), "parent")
-    )
+    edges = _closure_edges(relations)
     # ONE bounded collect replaces the round-6 count()-then-collect() pair:
     # the limit keeps the driver pull capped at driver_max_edges + 1 rows
     # either way, and on the (overwhelmingly common) small-graph path the
-    # rows are already in hand — one fewer blocking job per extract
-    probe = edges.limit(driver_max_edges + 1).collect()
+    # rows are already in hand — one fewer blocking job per extract.
+    # ``edge_probe`` (started by extract() via start_edge_probe) hands back
+    # the SAME collect, already overlapped with the selection fill.
+    probe = edge_probe() if edge_probe is not None else edges.limit(
+        driver_max_edges + 1
+    ).collect()
 
     if not probe:
         return seeds, seeds
@@ -707,6 +767,7 @@ def select_relations_non_complete(
     driver_max_edges: int = 2_000_000,
     caches: list | None = None,
     broadcast_keys: bool = False,
+    edge_probe=None,
 ) -> DataFrame:
     """Non-complete relation selection: stream-order-dependent.
 
@@ -721,20 +782,12 @@ def select_relations_non_complete(
     direct = _member_hits(relations, base_keys, broadcast_keys).select(
         "doc_id", "offset", "rid"
     )
-    # relation->relation edges with the parent's stream order
-    redges = (
-        relations.select(
-            F.col("id").alias("parent"),
-            F.col("doc_id").alias("p_doc"),
-            F.col("offset").alias("p_off"),
-            F.explode("members").alias("m"),
-        )
-        .filter(F.col("m.type") == "relation")
-        .select("parent", "p_doc", "p_off", F.col("m.ref").alias("child"))
-    )
-    # one bounded collect instead of count()-then-collect() — see
-    # relation_closure_complete
-    probe = redges.limit(driver_max_edges + 1).collect()
+    redges = _stream_order_edges(relations)
+    # one bounded collect instead of count()-then-collect(), optionally
+    # pre-overlapped with the selection fill — see relation_closure_complete
+    probe = edge_probe() if edge_probe is not None else redges.limit(
+        driver_max_edges + 1
+    ).collect()
     if not probe:
         return direct.distinct()
 
@@ -830,6 +883,7 @@ def relation_outputs(
     complete: bool,
     caches: list | None = None,
     broadcast_keys: bool = False,
+    edge_probe=None,
 ) -> DataFrame:
     """Relation selection + member projection: (doc_id, offset, kept_m) for
     every selected relation, given the node/way key set ``keys``.
@@ -845,7 +899,8 @@ def relation_outputs(
     _maybe_bcast = F.broadcast if broadcast_keys else (lambda df: df)
     if complete:
         selected_rel_ids, seed_ids = relation_closure_complete(
-            relations, keys, caches=caches, broadcast_keys=broadcast_keys
+            relations, keys, caches=caches, broadcast_keys=broadcast_keys,
+            edge_probe=edge_probe,
         )
         all_keys = keys.select(_enc_key(F.col("kind"), F.col("key_id")).alias("k")).unionByName(
             selected_rel_ids.select((F.col("rid") * F.lit(4) + F.lit(2)).alias("k"))
@@ -879,7 +934,8 @@ def relation_outputs(
         )
 
     sel_rel = select_relations_non_complete(
-        relations, keys, caches=caches, broadcast_keys=broadcast_keys
+        relations, keys, caches=caches, broadcast_keys=broadcast_keys,
+        edge_probe=edge_probe,
     )
     rel_rows = relations.join(sel_rel.select("doc_id", "offset"), _WAY_KEY, "left_semi")
     # members at processing time: nodes/ways in set + relations selected
@@ -1071,10 +1127,14 @@ def extract(
     nodes_sel = selector(nodes.filter(F.col("id").isNotNull()))
     sel_node_ids = nodes_sel.select(F.col("id").alias("node_id")).distinct()
     ways_sel = select_ways(ways, sel_node_ids, complete)
+    # overlap the closure's bounded edge collect with the selection fill
+    # (guide §2.6): it reads only the (already cached) narrow relation
+    # frame, so its job back-fills cores while the PIP/way stages run
+    edge_probe = start_edge_probe(relations, complete)
     return finish_extract(
         spark, docs, nodes, relations, nodes_sel, ways_sel, complete, assume_sorted,
         caches=caches, doc_grouped_output=doc_grouped_output,
-        n_elements_hint=n_elements,
+        n_elements_hint=n_elements, edge_probe=edge_probe,
     )
 
 
@@ -1091,6 +1151,7 @@ def finish_extract(
     doc_grouped_output: bool = False,
     broadcast_max_keys: int = 50_000_000,
     n_elements_hint: int | None = None,
+    edge_probe=None,
 ) -> ExtractResult:
     """Completion + relation selection + output assembly over precomputed
     (narrow) node/way selections (also the resume path of
@@ -1153,7 +1214,8 @@ def finish_extract(
         bcast = keys.count() <= cap
 
     rel_out = relation_outputs(
-        relations, keys, complete, caches=caches, broadcast_keys=bcast
+        relations, keys, complete, caches=caches, broadcast_keys=bcast,
+        edge_probe=edge_probe,
     )
 
     # ---- late materialization: one wide pass joined to selected keys ----
